@@ -1,0 +1,212 @@
+"""Public compression API, mirroring the reference C ABI semantics
+(libbsc.cpp:46-617): init / compress / store / block_info / decompress.
+
+Pipeline per block:  [LZP] -> block sort (BWT or ST-k) -> QLFC entropy coder,
+with a stored-block fallback for incompressible data.  The block transforms
+run on TPU via JAX when a device pipeline is active (see ops/), with the
+native host runtime (native/libtbsc.so) as the default engine; a pure-NumPy
+fallback keeps everything importable without a compiler.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from . import constants as C
+from .format.header import (
+    pack_mode,
+    parse_block_header,
+    pack_block_header,
+    make_stored_block,
+    BlockHeader,
+)
+from .utils.adler32 import adler32
+
+
+class BscError(Exception):
+    """Raised by the raising-flavor API wrappers."""
+
+    def __init__(self, code: int, message: str = ""):
+        super().__init__(message or f"libbsc-tpu error {code}")
+        self.code = code
+
+
+_ERROR_NAMES = {
+    C.BAD_PARAMETER: "bad parameter",
+    C.NOT_ENOUGH_MEMORY: "not enough memory",
+    C.NOT_COMPRESSIBLE: "not compressible",
+    C.NOT_SUPPORTED: "not supported",
+    C.UNEXPECTED_EOB: "unexpected end of block",
+    C.DATA_CORRUPT: "data corrupt",
+}
+
+_initialized = False
+_features = C.DEFAULT_FEATURES
+
+
+def init(features: int = C.DEFAULT_FEATURES) -> int:
+    """Initialize the library (bsc_init).  Idempotent."""
+    global _initialized, _features
+    _features = features
+    from . import engine
+
+    engine.init(features)
+    _initialized = True
+    return C.NO_ERROR
+
+
+def _ensure_init():
+    if not _initialized:
+        init()
+
+
+def store(data: bytes) -> bytes:
+    """bsc_store: wrap data in a stored block."""
+    return make_stored_block(data)
+
+
+def block_info(block_header: bytes):
+    """bsc_block_info: validate a 28-byte header.
+
+    Returns (block_size, data_size) or raises BscError.
+    """
+    h = parse_block_header(block_header)
+    if isinstance(h, int):
+        raise BscError(h, _ERROR_NAMES.get(h, str(h)))
+    return h.block_size, h.data_size
+
+
+def compress(
+    data: bytes,
+    lzp_hash_size: int = C.DEFAULT_LZPHASHSIZE,
+    lzp_min_len: int = C.DEFAULT_LZPMINLEN,
+    block_sorter: int = C.DEFAULT_BLOCKSORTER,
+    coder: int = C.DEFAULT_CODER,
+    features: int | None = None,
+) -> bytes:
+    """bsc_compress: compress one block; falls back to a stored block when
+    the data is incompressible.  Returns the full block (header + payload).
+    """
+    _ensure_init()
+    from . import engine
+
+    n = len(data)
+    mode = pack_mode(block_sorter, coder, lzp_hash_size, lzp_min_len)
+    if mode < 0:
+        raise BscError(C.BAD_PARAMETER, "invalid mode configuration")
+    if n > C.MAX_COMPRESS_SIZE:
+        raise BscError(C.BAD_PARAMETER, "input too large")
+    if n <= C.HEADER_SIZE:
+        return store(data)
+
+    features = _features if features is None else features
+    adler_data = adler32(data)
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    # LZP preprocessing
+    lzp_enabled = mode != (mode & 0xFF)
+    if lzp_enabled:
+        lz = engine.lzp_compress(buf, lzp_hash_size, lzp_min_len, features)
+        if lz is None:
+            mode &= 0xFF
+            lz = buf.copy()
+    else:
+        lz = buf.copy()
+
+    if len(lz) <= C.HEADER_SIZE:
+        block_sorter = C.BLOCKSORTER_BWT
+        mode = (mode & ~0x1F) | C.BLOCKSORTER_BWT
+
+    # Block sort
+    if block_sorter == C.BLOCKSORTER_BWT:
+        index, num_indexes, indexes = engine.bwt_encode(lz, features)
+    elif C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8:
+        index = engine.st_encode(lz, block_sorter, features)
+        num_indexes, indexes = 0, None
+    else:
+        raise BscError(C.BAD_PARAMETER)
+    if index < 0:
+        raise BscError(index, _ERROR_NAMES.get(index, str(index)))
+    if n < 64 * 1024:
+        num_indexes = 0
+
+    # Entropy coding
+    payload = engine.coder_compress(lz, coder, features)
+    if payload is None or len(payload) + 1 + 4 * num_indexes >= n:
+        return store(data)
+
+    tail = b""
+    if num_indexes > 0:
+        tail = np.asarray(indexes[:num_indexes], dtype="<i4").tobytes()
+    tail += bytes([num_indexes])
+    payload = bytes(payload) + tail
+
+    header = pack_block_header(
+        len(payload) + C.HEADER_SIZE, n, mode, index, adler_data, adler32(payload)
+    )
+    return header + payload
+
+
+def decompress(block: bytes, expected_size: int | None = None) -> bytes:
+    """bsc_decompress: decompress one block (header + payload)."""
+    _ensure_init()
+    from . import engine
+
+    h = parse_block_header(block)
+    if isinstance(h, int):
+        raise BscError(h, _ERROR_NAMES.get(h, str(h)))
+    if len(block) < h.block_size:
+        raise BscError(C.UNEXPECTED_EOB)
+    if expected_size is not None and expected_size < h.data_size:
+        raise BscError(C.UNEXPECTED_EOB)
+
+    payload = bytes(block[C.HEADER_SIZE : h.block_size])
+    if h.adler32_payload != adler32(payload):
+        raise BscError(C.DATA_CORRUPT)
+
+    if h.mode == 0:  # stored
+        return payload
+
+    features = _features
+    num_indexes = payload[-1]
+    indexes = None
+    if num_indexes > 0:
+        indexes = np.frombuffer(
+            payload[-1 - 4 * num_indexes : -1], dtype="<i4"
+        ).astype(np.int32)
+
+    lzp_hash_size = (h.mode >> 16) & 0xFF
+    lzp_min_len = (h.mode >> 8) & 0xFF
+    coder = (h.mode >> 5) & 0x7
+    block_sorter = h.mode & 0x1F
+
+    lz = engine.coder_decompress(
+        np.frombuffer(payload, dtype=np.uint8), coder, features,
+        capacity=h.data_size + 4096,
+    )
+    if isinstance(lz, int):
+        raise BscError(lz, _ERROR_NAMES.get(lz, str(lz)))
+
+    if block_sorter == C.BLOCKSORTER_BWT:
+        rc = engine.bwt_decode(lz, h.index, num_indexes, indexes, features)
+    elif C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8:
+        rc = engine.st_decode(lz, block_sorter, h.index, features)
+    else:
+        raise BscError(C.DATA_CORRUPT)
+    if rc < 0:
+        raise BscError(rc, _ERROR_NAMES.get(rc, str(rc)))
+
+    if lzp_hash_size or lzp_min_len:
+        out = engine.lzp_decompress(lz, lzp_hash_size, lzp_min_len, features,
+                                    capacity=h.data_size + 4096)
+    else:
+        out = lz
+
+    result = out.tobytes()
+    if len(result) != h.data_size or h.adler32_data != adler32(result):
+        raise BscError(C.DATA_CORRUPT)
+    return result

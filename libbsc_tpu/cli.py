@@ -1,0 +1,315 @@
+"""bsc-compatible command-line archiver.
+
+File format (bsc.cpp:46-59, 171-178):
+    'bsc1' magic (4 bytes)
+    int32 nBlocks
+    per block: BSC_BLOCK_HEADER { int64 blockOffset; int8 recordSize;
+               int8 sortingContexts } (packed, 10 bytes)
+               followed by the compressed block (28-byte header + payload).
+
+Usage mirrors the reference:  bsc-tpu e input output [options]
+                              bsc-tpu d input output [options]
+Options: -b<N> block size MB, -m<N> sorter (0=BWT, 3..8=ST), -e<N> coder
+(1=static 2=adaptive 0=fast), -H<N> LZP hash, -M<N> LZP minlen, -p disable
+LZP/filters, -s segmentation, -r record reordering, -c contexts (f/p/a),
+-t/-T disable multithreading, -G GPU flag accepted for parity (no-op: this
+build targets TPU).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from . import api, constants as C
+
+FILE_SIGN = b"bsc1"
+BLOCK_HEADER_FMT = "<qbb"  # blockOffset, recordSize, sortingContexts
+BLOCK_HEADER_SIZE = 10
+
+
+class Params:
+    block_size = 25 * 1024 * 1024
+    block_sorter = C.BLOCKSORTER_BWT
+    coder = C.CODER_QLFC_STATIC
+    sorting_contexts = C.CONTEXTS_FOLLOWING
+    parallel = True
+    multithreading = True
+    fastmode = True
+    segmentation = False
+    reordering = False
+    lzp = True
+    lzp_hash_size = 15
+    lzp_min_len = 128
+
+    def features(self):
+        f = C.FEATURE_NONE
+        if self.fastmode:
+            f |= C.FEATURE_FASTMODE
+        if self.multithreading:
+            f |= C.FEATURE_MULTITHREADING
+        return f
+
+
+def _compress_one(p: Params, data: bytes):
+    """Apply filters + compress one block; returns (record_size, contexts, blob)."""
+    from . import engine
+    import numpy as np
+
+    record_size, contexts = 1, C.CONTEXTS_FOLLOWING
+    buf = bytearray(data)
+
+    if p.reordering:
+        from .filters import detectors, preprocessing
+
+        rs = detectors.detect_recordsize(np.frombuffer(bytes(buf), dtype=np.uint8))
+        if rs > 1:
+            arr = np.frombuffer(bytes(buf), dtype=np.uint8).copy()
+            preprocessing.reorder_forward(arr, rs)
+            buf = bytearray(arr.tobytes())
+            record_size = rs
+
+    contexts = p.sorting_contexts
+    if p.sorting_contexts == C.CONTEXTS_AUTODETECT:
+        from .filters import detectors
+        import numpy as np
+
+        contexts = detectors.detect_contextsorder(
+            np.frombuffer(bytes(buf), dtype=np.uint8)
+        )
+    if contexts == C.CONTEXTS_PRECEDING:
+        buf = bytearray(bytes(buf)[::-1])
+
+    hs = p.lzp_hash_size if p.lzp else 0
+    ml = p.lzp_min_len if p.lzp else 0
+    try:
+        blob = api.compress(
+            bytes(buf), hs, ml, p.block_sorter, p.coder, p.features()
+        )
+    except api.BscError as e:
+        if e.code == C.NOT_COMPRESSIBLE:
+            blob = api.store(data)
+            record_size, contexts = 1, C.CONTEXTS_FOLLOWING
+        else:
+            raise
+    return record_size, contexts, blob
+
+
+def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
+    api.init(p.features())
+    t0 = time.time()
+    in_size = os.path.getsize(inp)
+    block_size = min(p.block_size, in_size) if in_size > 0 else p.block_size
+    n_blocks = (in_size + block_size - 1) // block_size if block_size > 0 else 0
+
+    with open(inp, "rb") as f, open(outp, "wb") as out:
+        out.write(FILE_SIGN)
+        out.write(struct.pack("<i", n_blocks))
+        out_size = 8
+
+        def read_blocks():
+            if p.segmentation:
+                from .filters import detectors
+                import numpy as np
+
+                pending = b""
+                offset = 0
+                while True:
+                    chunk = f.read(block_size - len(pending))
+                    data = pending + chunk
+                    if not data:
+                        break
+                    segs = detectors.detect_segments(
+                        np.frombuffer(data, dtype=np.uint8)
+                    )
+                    for size in segs[:-1]:
+                        yield offset, data[:size]
+                        offset += size
+                        data = data[size:]
+                    if len(chunk) == 0 and data:
+                        yield offset, data
+                        offset += len(data)
+                        break
+                    pending = data
+            else:
+                offset = 0
+                while True:
+                    data = f.read(block_size)
+                    if not data:
+                        break
+                    yield offset, data
+                    offset += len(data)
+
+        def job(args):
+            offset, data = args
+            rs, ctx, blob = _compress_one(p, data)
+            return offset, rs, ctx, blob
+
+        workers = (os.cpu_count() or 1) if p.parallel else 1
+        with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
+            for offset, rs, ctx, blob in ex.map(job, read_blocks()):
+                out.write(struct.pack(BLOCK_HEADER_FMT, offset, rs, ctx))
+                out.write(blob)
+                out_size += BLOCK_HEADER_SIZE + len(blob)
+
+    dt = time.time() - t0
+    if not quiet:
+        mbps = in_size / 1e6 / dt if dt > 0 else 0.0
+        print(f"{inp} encoded {in_size} => {out_size} in {dt:.3f}s ({mbps:.2f} MB/s)")
+
+
+def decompress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
+    api.init(p.features())
+    t0 = time.time()
+    in_size = os.path.getsize(inp)
+
+    with open(inp, "rb") as f, open(outp, "wb") as out:
+        sign = f.read(4)
+        if sign != FILE_SIGN:
+            print("This is not a valid bsc archive!", file=sys.stderr)
+            sys.exit(1)
+        (n_blocks,) = struct.unpack("<i", f.read(4))
+
+        def read_jobs():
+            for _ in range(n_blocks):
+                bh = f.read(BLOCK_HEADER_SIZE)
+                if len(bh) < BLOCK_HEADER_SIZE:
+                    print("Unexpected end of file!", file=sys.stderr)
+                    sys.exit(1)
+                offset, rs, ctx = struct.unpack(BLOCK_HEADER_FMT, bh)
+                header = f.read(C.HEADER_SIZE)
+                block_size, data_size = api.block_info(header)
+                payload = f.read(block_size - C.HEADER_SIZE)
+                yield offset, rs, ctx, header + payload
+
+        def job(args):
+            offset, rs, ctx, blob = args
+            data = api.decompress(blob)
+            if ctx == C.CONTEXTS_PRECEDING:
+                data = data[::-1]
+            if rs > 1:
+                import numpy as np
+                from .filters import preprocessing
+
+                arr = np.frombuffer(data, dtype=np.uint8).copy()
+                preprocessing.reorder_reverse(arr, rs)
+                data = arr.tobytes()
+            return offset, data
+
+        total = 0
+        workers = (os.cpu_count() or 1) if p.parallel else 1
+        with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
+            for offset, data in ex.map(job, read_jobs()):
+                out.seek(offset)
+                out.write(data)
+                total += len(data)
+
+    dt = time.time() - t0
+    if not quiet:
+        mbps = total / 1e6 / dt if dt > 0 else 0.0
+        print(f"{inp} decoded {in_size} => {total} in {dt:.3f}s ({mbps:.2f} MB/s)")
+
+
+USAGE = """This is a TPU-native block sorting data compressor, format-compatible
+with bsc. Usage: bsc-tpu <e|d> inputfile outputfile <options>
+
+Switches:
+  -b<size> Block size in megabytes, default: -b25
+  -m<algo> Block sorting algorithm, default: -m0 (BWT); -m3..-m8 = ST3..ST8
+  -c<ctx>  Contexts: -cf following (default), -cp preceding, -ca autodetect
+  -e<coder> Coder: -e1 static QLFC (default), -e2 adaptive QLFC, -e0 fast QLFC
+  -H<size> LZP hash size, default: -H15 (0 disables LZP)
+  -M<len>  LZP minimum match length, default: -M128
+  -p       Disable all preprocessing techniques
+  -s       Enable segmentation
+  -r       Enable record reordering
+  -t       Disable parallel blocks processing
+  -T       Disable multi-core systems support
+  -G       (accepted for parity; this build targets TPU)
+"""
+
+
+def parse_args(argv):
+    if len(argv) < 4 or argv[1] not in ("e", "d"):
+        print(USAGE)
+        sys.exit(0)
+    p = Params()
+    for a in argv[4:]:
+        if not a.startswith("-"):
+            print(f"Unknown option: {a}", file=sys.stderr)
+            sys.exit(1)
+        body = a[1:]
+        if body.startswith("b"):
+            p.block_size = int(body[1:]) * 1024 * 1024
+        elif body.startswith("m"):
+            v = int(body[1:])
+            p.block_sorter = C.BLOCKSORTER_BWT if v == 0 else v
+        elif body.startswith("e"):
+            v = int(body[1:])
+            p.coder = {0: C.CODER_QLFC_FAST, 1: C.CODER_QLFC_STATIC, 2: C.CODER_QLFC_ADAPTIVE}[v]
+        elif body.startswith("H"):
+            v = int(body[1:])
+            if v == 0:
+                p.lzp = False
+            else:
+                p.lzp_hash_size = v
+        elif body.startswith("M"):
+            v = int(body[1:])
+            if v == 0:
+                p.lzp = False
+            else:
+                p.lzp_min_len = v
+        elif body.startswith("c"):
+            p.sorting_contexts = {"f": C.CONTEXTS_FOLLOWING, "p": C.CONTEXTS_PRECEDING, "a": C.CONTEXTS_AUTODETECT}[body[1:] or "f"]
+        elif body == "p":
+            p.lzp = False
+            p.segmentation = False
+            p.reordering = False
+            p.sorting_contexts = C.CONTEXTS_FOLLOWING
+        elif body == "s":
+            p.segmentation = True
+        elif body == "r":
+            p.reordering = True
+        elif body == "t":
+            p.parallel = False
+        elif body == "T":
+            p.parallel = False
+            p.multithreading = False
+        elif body.startswith("G"):
+            pass  # GPU flag: no-op on TPU build
+        elif body == "f":
+            p.fastmode = True
+        else:
+            print(f"Unknown option: {a}", file=sys.stderr)
+            sys.exit(1)
+    return p
+
+
+_ERROR_MESSAGES = {
+    C.NOT_ENOUGH_MEMORY: "Not enough memory!",
+    C.DATA_CORRUPT: "The compressed data is corrupted!",
+    C.NOT_SUPPORTED: "Specified compression method is not supported on this platform!",
+    C.UNEXPECTED_EOB: "Unexpected end of block!",
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv
+    p = parse_args(argv)
+    mode, inp, outp = argv[1], argv[2], argv[3]
+    try:
+        if mode == "e":
+            compress_file(inp, outp, p)
+        else:
+            decompress_file(inp, outp, p)
+    except api.BscError as e:
+        print(_ERROR_MESSAGES.get(e.code, "Internal program error, please contact the author!"),
+              file=sys.stderr)
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Stage engine dispatch: native C++ host runtime, TPU (JAX) pipeline, or
+pure-NumPy fallback, selected per stage.
+
+Selection order (overridable via TBSC_ENGINE=native|numpy|tpu):
+  - transforms (BWT/ST): TPU when a JAX device pipeline is requested,
+    otherwise native; NumPy fallback if the native build is unavailable.
+  - entropy coder + LZP: native (serial bit-exact hot loops); NumPy
+    fallback is provided for environments without a compiler (slow).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import constants as C
+
+_native = None
+_num_threads = 1
+_force = os.environ.get("TBSC_ENGINE", "").lower() or None
+
+
+def init(features: int) -> None:
+    global _native, _num_threads
+    if _force != "numpy":
+        from . import native as native_mod
+
+        if native_mod.available():
+            _native = native_mod
+    if features & C.FEATURE_MULTITHREADING:
+        _num_threads = os.cpu_count() or 1
+
+
+def _lib():
+    return _native.load() if _native else None
+
+
+def _as_c(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(arr, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# LZP
+# ---------------------------------------------------------------------------
+
+def lzp_compress(data: np.ndarray, hash_size: int, min_len: int, features: int):
+    """Returns the LZP stream as ndarray, or None if not compressible."""
+    n = len(data)
+    lib = _lib()
+    if lib is not None:
+        inp = _as_c(data)
+        out = np.empty(n + 1024, dtype=np.uint8)
+        from .native import _u8p
+
+        rc = lib.tbsc_lzp_compress(_u8p(inp), _u8p(out), n, hash_size, min_len,
+                                   _num_threads)
+        if rc < 0:
+            return None
+        return out[:rc]
+    from .fallback import lzp as _pylzp
+
+    return _pylzp.lzp_compress(data, hash_size, min_len)
+
+
+def lzp_decompress(data: np.ndarray, hash_size: int, min_len: int, features: int,
+                   capacity: int | None = None):
+    lib = _lib()
+    if lib is not None:
+        inp = _as_c(data)
+        cap = capacity if capacity is not None else len(data) * 4 + (1 << 20)
+        out = np.empty(int(cap), dtype=np.uint8)
+        from .native import _u8p
+
+        rc = lib.tbsc_lzp_decompress(_u8p(inp), _u8p(out), len(inp), hash_size,
+                                     min_len, _num_threads)
+        if rc < 0:
+            return rc
+        return out[:rc]
+    from .fallback import lzp as _pylzp
+
+    return _pylzp.lzp_decompress(data, hash_size, min_len)
+
+
+# ---------------------------------------------------------------------------
+# Block sorters
+# ---------------------------------------------------------------------------
+
+def bwt_encode(data: np.ndarray, features: int):
+    """In-place-style BWT; returns (index, num_indexes, indexes)."""
+    n = len(data)
+    lib = _lib()
+    if lib is not None:
+        from .native import _u8p, _i32p
+        import ctypes
+
+        buf = _as_c(data).copy() if not data.flags.writeable else _as_c(data)
+        ni = np.zeros(1, dtype=np.uint8)
+        idx = np.zeros(256, dtype=np.int32)
+        rc = lib.tbsc_bwt_encode(_u8p(buf), n, _u8p(ni), _i32p(idx), _num_threads)
+        if rc < 0:
+            return rc, 0, None
+        data[:] = buf
+        return rc, int(ni[0]), idx
+    from .fallback import bwt as _pybwt
+
+    return _pybwt.bwt_encode(data)
+
+
+def bwt_decode(data: np.ndarray, index: int, num_indexes: int, indexes, features: int):
+    n = len(data)
+    lib = _lib()
+    if lib is not None:
+        from .native import _u8p, _i32p
+
+        buf = _as_c(data)
+        idx = (np.ascontiguousarray(indexes, dtype=np.int32)
+               if indexes is not None else np.zeros(1, dtype=np.int32))
+        rc = lib.tbsc_bwt_decode(_u8p(buf), n, index, num_indexes, _i32p(idx),
+                                 _num_threads)
+        if rc == 0:
+            data[:] = buf
+        return rc
+    from .fallback import bwt as _pybwt
+
+    return _pybwt.bwt_decode(data, index, num_indexes, indexes)
+
+
+def st_encode(data: np.ndarray, k: int, features: int):
+    n = len(data)
+    lib = _lib()
+    if lib is not None:
+        from .native import _u8p
+
+        buf = _as_c(data)
+        rc = lib.tbsc_st_encode(_u8p(buf), n, k, _num_threads)
+        if rc >= 0:
+            data[:] = buf
+        return rc
+    from .fallback import st as _pyst
+
+    return _pyst.st_encode(data, k)
+
+
+def st_decode(data: np.ndarray, k: int, index: int, features: int):
+    n = len(data)
+    lib = _lib()
+    if lib is not None:
+        from .native import _u8p
+
+        buf = _as_c(data)
+        rc = lib.tbsc_st_decode(_u8p(buf), n, k, index, _num_threads)
+        if rc == 0:
+            data[:] = buf
+        return rc
+    from .fallback import st as _pyst
+
+    return _pyst.st_decode(data, k, index)
+
+
+# ---------------------------------------------------------------------------
+# Entropy coder
+# ---------------------------------------------------------------------------
+
+def coder_compress(data: np.ndarray, coder: int, features: int):
+    """Returns coded ndarray or None if not compressible."""
+    n = len(data)
+    lib = _lib()
+    if lib is not None:
+        from .native import _u8p
+
+        inp = _as_c(data)
+        out = np.empty(n + 4096, dtype=np.uint8)
+        rc = lib.tbsc_coder_compress(_u8p(inp), _u8p(out), n, coder, _num_threads)
+        if rc < 0:
+            return None
+        return out[:rc]
+    from .fallback import qlfc as _pyqlfc
+
+    return _pyqlfc.coder_compress(data, coder)
+
+
+def coder_decompress(data: np.ndarray, coder: int, features: int,
+                     capacity: int | None = None):
+    lib = _lib()
+    if lib is not None:
+        from .native import _u8p
+
+        inp = _as_c(data)
+        cap = capacity if capacity is not None else len(data) * 8 + (1 << 20)
+        out = np.empty(int(cap), dtype=np.uint8)
+        rc = lib.tbsc_coder_decompress(_u8p(inp), _u8p(out), coder, _num_threads)
+        if rc < 0:
+            return rc
+        return out[:rc]
+    from .fallback import qlfc as _pyqlfc
+
+    return _pyqlfc.coder_decompress(data, coder)

@@ -1,0 +1,85 @@
+// C ABI for the tbsc native host runtime (loaded from Python via ctypes).
+
+#include <cstdint>
+
+#include "cm.h"
+
+namespace tbsc {
+FormatTables g_tables = {nullptr, nullptr, nullptr, nullptr};
+
+int qlfc_init();
+int qlfc_encode_block(const uint8_t*, uint8_t*, int, int, int);
+int qlfc_decode_block(const uint8_t*, uint8_t*, int);
+int coder_compress(const uint8_t*, uint8_t*, int, int, int);
+int coder_decompress(const uint8_t*, uint8_t*, int, int);
+int lzp_encode_block(const uint8_t*, const uint8_t*, uint8_t*, uint8_t*, int, int);
+int lzp_decode_block(const uint8_t*, const uint8_t*, uint8_t*, int, int);
+int lzp_compress(const uint8_t*, uint8_t*, int, int, int, int);
+int lzp_decompress(const uint8_t*, uint8_t*, int, int, int, int);
+int bwt_encode(uint8_t*, int, uint8_t*, int32_t*, int);
+int bwt_decode(uint8_t*, int, int, int, const int32_t*, int);
+int st_encode(uint8_t*, int, int, int);
+int st_decode(uint8_t*, int, int, int, int);
+}  // namespace tbsc
+
+extern "C" {
+
+// Install the format-constant tables (int16[4097] stretch, int16[4097]
+// squash, uint8[32768] rank-state, uint8[8192] run-state).  The caller owns
+// the memory and must keep it alive for the process lifetime.
+int tbsc_set_tables(const int16_t* stretch, const int16_t* squash,
+                    const uint8_t* rank_state, const uint8_t* run_state) {
+  tbsc::g_tables.stretch = stretch;
+  tbsc::g_tables.squash = squash;
+  tbsc::g_tables.rank_state = rank_state;
+  tbsc::g_tables.run_state = run_state;
+  return tbsc::qlfc_init();
+}
+
+int tbsc_qlfc_encode_block(const uint8_t* in, uint8_t* out, int isize, int osize, int kind) {
+  return tbsc::qlfc_encode_block(in, out, isize, osize, kind);
+}
+
+int tbsc_qlfc_decode_block(const uint8_t* in, uint8_t* out, int kind) {
+  return tbsc::qlfc_decode_block(in, out, kind);
+}
+
+int tbsc_coder_compress(const uint8_t* in, uint8_t* out, int n, int kind, int num_threads) {
+  return tbsc::coder_compress(in, out, n, kind, num_threads);
+}
+
+int tbsc_coder_decompress(const uint8_t* in, uint8_t* out, int kind, int num_threads) {
+  return tbsc::coder_decompress(in, out, kind, num_threads);
+}
+
+int tbsc_lzp_compress(const uint8_t* in, uint8_t* out, int n, int hash_size, int min_len,
+                      int num_threads) {
+  return tbsc::lzp_compress(in, out, n, hash_size, min_len, num_threads);
+}
+
+int tbsc_lzp_decompress(const uint8_t* in, uint8_t* out, int n, int hash_size, int min_len,
+                        int num_threads) {
+  return tbsc::lzp_decompress(in, out, n, hash_size, min_len, num_threads);
+}
+
+int tbsc_bwt_encode(uint8_t* T, int n, uint8_t* num_indexes, int32_t* indexes, int num_threads) {
+  int ni = 0;
+  int r = tbsc::bwt_encode(T, n, (uint8_t*)&ni, indexes, num_threads);
+  if (num_indexes) *num_indexes = (uint8_t)ni;
+  return r;
+}
+
+int tbsc_bwt_decode(uint8_t* T, int n, int index, int num_indexes, const int32_t* indexes,
+                    int num_threads) {
+  return tbsc::bwt_decode(T, n, index, num_indexes, indexes, num_threads);
+}
+
+int tbsc_st_encode(uint8_t* T, int n, int k, int num_threads) {
+  return tbsc::st_encode(T, n, k, num_threads);
+}
+
+int tbsc_st_decode(uint8_t* T, int n, int k, int index, int num_threads) {
+  return tbsc::st_decode(T, n, k, index, num_threads);
+}
+
+}  // extern "C"

@@ -1,0 +1,292 @@
+// Burrows-Wheeler transform, host-native path.
+//
+// Forward: SA-IS suffix-array construction (original implementation of the
+// Nong/Zhang/Chan induced-sorting algorithm), then BWT extraction in the
+// reference's stream convention (verified against libsais behavior):
+//   U[0] = T[n-1]; U[1..] = T[SA[j]-1] for SA ranks j skipping suffix 0;
+//   primary index = rank(suffix 0) + 1;
+//   aux indexes (sampling rate r): indexes[t] = rank(suffix (t+1)*r),
+//   with r = 2^floor(log2(n/8)) via the bit-smear in bwt.cpp:192-197 and
+//   num_indexes = (n-1)/r.
+//
+// Inverse: counting + LF-mapping walk over the virtual-sentinel BWT matrix;
+// with aux indexes the walk splits into num_indexes+1 independent chains
+// (parallelized with OpenMP when available).
+
+#include <cstdint>
+#include <cstring>
+#include <new>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace tbsc {
+
+using u8 = uint8_t;
+using i32 = int32_t;
+
+// ---------------------------------------------------------------------------
+// SA-IS
+// ---------------------------------------------------------------------------
+
+namespace sais {
+
+// s: sequence of n symbols in [0, K); SA: output of length n.
+// GetC abstracts u8 vs i32 input for the recursive call.
+
+template <typename CharT>
+static void get_counts(const CharT* s, i32* cnt, i32 n, i32 K) {
+  std::memset(cnt, 0, sizeof(i32) * (size_t)K);
+  for (i32 i = 0; i < n; ++i) ++cnt[s[i]];
+}
+
+static void get_starts(const i32* cnt, i32* bkt, i32 K) {
+  i32 sum = 0;
+  for (i32 c = 0; c < K; ++c) { bkt[c] = sum; sum += cnt[c]; }
+}
+
+static void get_ends(const i32* cnt, i32* bkt, i32 K) {
+  i32 sum = 0;
+  for (i32 c = 0; c < K; ++c) { sum += cnt[c]; bkt[c] = sum; }
+}
+
+// suffix type: 1 = S-type, 0 = L-type.  The virtual sentinel is the unique
+// smallest suffix, so suffix n-1 (a single char > sentinel) is L-type.
+template <typename CharT>
+static void compute_types(const CharT* s, u8* t, i32 n) {
+  t[n - 1] = 0;
+  for (i32 i = n - 2; i >= 0; --i)
+    t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
+}
+
+static inline bool is_lms(const u8* t, i32 i) { return i > 0 && t[i] && !t[i - 1]; }
+
+template <typename CharT>
+static void induce(const CharT* s, i32* SA, const u8* t, i32* cnt, i32* bkt,
+                   i32 n, i32 K) {
+  // induce L-type from left to right; virtual sentinel first induces n-1
+  get_starts(cnt, bkt, K);
+  if (!t[n - 1]) SA[bkt[s[n - 1]]++] = n - 1;
+  for (i32 i = 0; i < n; ++i) {
+    i32 j = SA[i];
+    if (j > 0 && !t[j - 1]) SA[bkt[s[j - 1]]++] = j - 1;
+  }
+  // induce S-type from right to left
+  get_ends(cnt, bkt, K);
+  for (i32 i = n - 1; i >= 0; --i) {
+    i32 j = SA[i];
+    if (j > 0 && t[j - 1]) SA[--bkt[s[j - 1]]] = j - 1;
+  }
+}
+
+template <typename CharT>
+static void sais_rec(const CharT* s, i32* SA, i32 n, i32 K, u8* tbuf, i32* cntbuf,
+                     i32* names) {
+  if (n == 1) { SA[0] = 0; return; }
+
+  u8* t = tbuf;
+  compute_types(s, t, n);
+
+  i32* cnt = cntbuf;
+  i32* bkt = cntbuf + K;
+  get_counts(s, cnt, n, K);
+
+  // Step 1: place LMS suffixes at bucket ends (in text order), induce.
+  for (i32 i = 0; i < n; ++i) SA[i] = -1;
+  get_ends(cnt, bkt, K);
+  for (i32 i = n - 1; i > 0; --i)
+    if (is_lms(t, i)) SA[--bkt[s[i]]] = i;
+  induce(s, SA, t, cnt, bkt, n, K);
+
+  // Step 2: compact sorted LMS suffixes, name LMS substrings.
+  i32 n_lms = 0;
+  for (i32 i = 0; i < n; ++i) {
+    i32 j = SA[i];
+    if (j > 0 && t[j] && !t[j - 1]) SA[n_lms++] = j;
+  }
+
+  i32 name = 0, prev = -1;
+  for (i32 i = 0; i < n_lms; ++i) {
+    i32 pos = SA[i];
+    bool diff = false;
+    if (prev < 0) diff = true;
+    else {
+      // Compare LMS substrings at pos and prev (chars + types up to and
+      // including the next LMS position; reaching the end is unique).
+      for (i32 d = 0;; ++d) {
+        if (pos + d == n || prev + d == n) { diff = true; break; }
+        if (s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) { diff = true; break; }
+        if (d > 0 && (is_lms(t, pos + d) || is_lms(t, prev + d))) {
+          diff = !(is_lms(t, pos + d) && is_lms(t, prev + d));
+          break;
+        }
+      }
+    }
+    if (diff) { ++name; prev = pos; }
+    names[pos >> 1] = name - 1;
+  }
+
+  if (name < n_lms) {
+    // Build the reduced string (LMS names in text order) in the SA tail,
+    // recurse, then map the reduced suffix array back to text positions.
+    i32* s1 = SA + n - n_lms;
+    i32 k = 0;
+    for (i32 i = 0; i < n; ++i)
+      if (is_lms(t, i)) s1[k++] = names[i >> 1];
+    sais_rec<i32>(s1, SA, n_lms, name, tbuf + n, cntbuf + 2 * K, names);
+    i32* lms_pos = s1;  // reuse tail: LMS positions in text order
+    k = 0;
+    for (i32 i = 0; i < n; ++i)
+      if (is_lms(t, i)) lms_pos[k++] = i;
+    compute_types(s, t, n);  // recursion clobbered this level's types
+    for (i32 i = 0; i < n_lms; ++i) SA[i] = lms_pos[SA[i]];
+  }
+  // else: SA[0..n_lms) already holds LMS suffixes in sorted order.
+
+  // Step 3: final induce from sorted LMS suffixes.
+  get_counts(s, cnt, n, K);
+  get_ends(cnt, bkt, K);
+  for (i32 i = n_lms; i < n; ++i) SA[i] = -1;
+  for (i32 i = n_lms - 1; i >= 0; --i) {
+    i32 j = SA[i];
+    SA[i] = -1;
+    SA[--bkt[s[j]]] = j;
+  }
+  induce(s, SA, t, cnt, bkt, n, K);
+}
+
+}  // namespace sais
+
+// Computes the suffix array of T (length n) into SA.
+int suffix_array(const u8* T, i32* SA, i32 n) {
+  if (n <= 0) return -1;
+  if (n == 1) { SA[0] = 0; return 0; }
+  // type buffer: recursion levels need n + n/2 + n/4 + ... <= 2n bytes
+  u8* tbuf = new (std::nothrow) u8[(size_t)2 * n + 8];
+  // count+bucket buffers: 2*K per level, bounded by 2*(256 + n) ints
+  i32* cntbuf = new (std::nothrow) i32[(size_t)2 * n + 1024];
+  i32* names = new (std::nothrow) i32[(size_t)(n >> 1) + 2];
+  if (!tbuf || !cntbuf || !names) {
+    delete[] tbuf; delete[] cntbuf; delete[] names;
+    return -2;
+  }
+  sais::sais_rec<u8>(T, SA, n, 256, tbuf, cntbuf, names);
+  delete[] tbuf;
+  delete[] cntbuf;
+  delete[] names;
+  return 0;
+}
+
+// Aux-index sampling rate (bwt.cpp:192-197).
+static int aux_rate(int n) {
+  int mod = n / 8;
+  mod |= mod >> 1; mod |= mod >> 2; mod |= mod >> 4;
+  mod |= mod >> 8; mod |= mod >> 16;
+  mod >>= 1;
+  return mod + 1;
+}
+
+// In-place BWT of T[0..n); returns primary index (>0) or error (<0).
+// When indexes != null, writes num_indexes = (n-1)/r sampled ranks.
+int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/) {
+  if (n <= 1) { if (num_indexes) *num_indexes = 0; return n; }
+  i32* SA = new (std::nothrow) i32[(size_t)n];
+  if (!SA) return -2;
+  if (suffix_array(T, SA, n) != 0) { delete[] SA; return -2; }
+
+  u8* U = new (std::nothrow) u8[(size_t)n];
+  if (!U) { delete[] SA; return -2; }
+
+  int r = aux_rate(n);
+  int n_aux = (n - 1) / r;
+  int primary = -1;
+  U[0] = T[n - 1];
+  for (int j = 0, w = 1; j < n; ++j) {
+    i32 sj = SA[j];
+    if (sj == 0) { primary = j + 1; continue; }
+    U[w++] = T[sj - 1];
+  }
+  if (indexes && num_indexes) {
+    // indexes[t] = rank of suffix (t+1)*r
+    for (int j = 0; j < n; ++j) {
+      i32 sj = SA[j];
+      if (sj != 0 && sj % r == 0 && sj / r <= n_aux) indexes[sj / r - 1] = j;
+    }
+    *num_indexes = (u8)n_aux;
+  } else if (num_indexes) {
+    *num_indexes = 0;
+  }
+
+  std::memcpy(T, U, (size_t)n);
+  delete[] U;
+  delete[] SA;
+  return primary;
+}
+
+// Inverse BWT.  index/aux semantics per the encode above.
+int bwt_decode(u8* T, int n, int index, int num_indexes, const i32* indexes,
+               int num_threads) {
+  if (n <= 1) return 0;
+  if (index <= 0 || index > n) return -1;
+
+  // LF over the virtual-sentinel matrix:
+  //   row k (k != index) shows U[u], u = k - (k > index);
+  //   LF(k) = 1 + base0[U[u]] + occ(U[u], u).
+  // Precompute next[u] = LF(row of u) directly in u-coordinates.
+  i32* lf = new (std::nothrow) i32[(size_t)n];
+  if (!lf) return -2;
+  i32 cnt[256];
+  std::memset(cnt, 0, sizeof cnt);
+  for (int u = 0; u < n; ++u) {
+    lf[u] = cnt[T[u]]++;
+  }
+  i32 base[256];
+  {
+    i32 sum = 1;  // sentinel occupies row 0
+    for (int c = 0; c < 256; ++c) { base[c] = sum; sum += cnt[c]; }
+  }
+  for (int u = 0; u < n; ++u) lf[u] += base[T[u]];
+
+  u8* out = new (std::nothrow) u8[(size_t)n];
+  if (!out) { delete[] lf; return -2; }
+
+  int r = aux_rate(n);
+  bool use_aux = indexes && num_indexes == (n - 1) / r;
+
+  if (!use_aux) {
+    // single chain from the sentinel row (k=0 => u=0)
+    i32 k = 0;
+    for (int pos = n - 1; pos >= 0; --pos) {
+      i32 u = k - (k > index ? 1 : 0);
+      out[pos] = T[u];
+      k = lf[u];
+    }
+  } else {
+    int n_chains = num_indexes + 1;
+#ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic) num_threads(num_threads > 1 ? num_threads : 1) if (num_threads > 1)
+#endif
+    for (int t = 0; t < n_chains; ++t) {
+      // chain t starts at the row of suffix t*r and writes positions
+      // [t*r - 1 .. (t-1)*r] going backward; chain 0 starts at the sentinel
+      // row (k=0, whose preceding char is T[n-1]) and writes the tail
+      // [n-1 .. num_indexes*r].
+      i32 k = (t == 0) ? 0 : indexes[t - 1] + 1;
+      int hi = (t == 0) ? n - 1 : t * r - 1;
+      int lo = (t == 0) ? num_indexes * r : (t - 1) * r;
+      for (int pos = hi; pos >= lo; --pos) {
+        i32 u = k - (k > index ? 1 : 0);
+        out[pos] = T[u];
+        k = lf[u];
+      }
+    }
+  }
+
+  std::memcpy(T, out, (size_t)n);
+  delete[] out;
+  delete[] lf;
+  return 0;
+}
+
+}  // namespace tbsc
