@@ -1,0 +1,93 @@
+"""End-to-end library API: compress/decompress blocks, reference interop."""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from libbsc_tpu import api, constants as C
+from tests.conftest import make_corpus
+
+u8p = ctypes.POINTER(ctypes.c_ubyte)
+
+CONFIGS = [
+    dict(),  # default: LZP + BWT + QLFC-static
+    dict(coder=C.CODER_QLFC_FAST),
+    dict(coder=C.CODER_QLFC_ADAPTIVE),
+    dict(block_sorter=C.BLOCKSORTER_ST3),
+    dict(block_sorter=C.BLOCKSORTER_ST5, coder=C.CODER_QLFC_FAST),
+    dict(block_sorter=C.BLOCKSORTER_ST8),
+    dict(lzp_hash_size=0, lzp_min_len=0),  # no LZP
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_block_roundtrip(rng, cfg):
+    for kind in ["text", "random", "runs", "zeros"]:
+        for n in [10, 100, 70000, 400000]:
+            data = make_corpus(rng, n, kind)
+            blk = api.compress(data, **cfg)
+            assert api.decompress(blk) == data, (kind, n, cfg)
+
+
+def test_incompressible_falls_back_to_store(rng):
+    data = make_corpus(rng, 50000, "random")
+    blk = api.compress(data)
+    assert len(blk) == len(data) + C.HEADER_SIZE  # stored
+    assert api.decompress(blk) == data
+
+
+def test_corruption_detected(rng):
+    data = make_corpus(rng, 50000, "text")
+    blk = bytearray(api.compress(data))
+    blk[1000] ^= 1
+    with pytest.raises(api.BscError) as e:
+        api.decompress(bytes(blk))
+    assert e.value.code == C.DATA_CORRUPT
+
+
+@pytest.mark.parametrize("cfg,ocfg", [
+    (dict(), (15, 128, 1, 1)),
+    (dict(coder=C.CODER_QLFC_FAST), (15, 128, 1, 3)),
+    (dict(coder=C.CODER_QLFC_ADAPTIVE), (15, 128, 1, 2)),
+    (dict(block_sorter=C.BLOCKSORTER_ST5), (15, 128, 5, 1)),
+    (dict(lzp_hash_size=0, lzp_min_len=0), (0, 0, 1, 1)),
+])
+def test_reference_interop(oracle, rng, cfg, ocfg):
+    hs, ml, bs, coder = ocfg
+    for kind in ["text", "runs"]:
+        data = make_corpus(rng, 300000, kind)
+        n = len(data)
+        # our block decodable by reference
+        blk = api.compress(data, **cfg)
+        out = np.zeros(n + 64, dtype=np.uint8)
+        rc = oracle.o_decompress(
+            np.frombuffer(blk, dtype=np.uint8).ctypes.data_as(u8p),
+            len(blk), out.ctypes.data_as(u8p), n, 0,
+        )
+        assert rc == 0
+        assert out[:n].tobytes() == data
+        # reference block decodable by us
+        inp = np.frombuffer(data, dtype=np.uint8)
+        oblk = np.zeros(n + C.HEADER_SIZE, dtype=np.uint8)
+        orc = oracle.o_compress(
+            inp.ctypes.data_as(u8p), oblk.ctypes.data_as(u8p), n, hs, ml, bs, coder, 0
+        )
+        assert orc > 0
+        assert api.decompress(oblk[:orc].tobytes()) == data
+
+
+def test_no_lzp_blocks_bit_identical_to_reference(oracle, rng):
+    """Without LZP (whose encoder policy is implementation-defined), our
+    whole block must be byte-identical to the reference's."""
+    for kind in ["text", "runs"]:
+        data = make_corpus(rng, 300000, kind)
+        n = len(data)
+        blk = api.compress(data, lzp_hash_size=0, lzp_min_len=0)
+        inp = np.frombuffer(data, dtype=np.uint8)
+        oblk = np.zeros(n + C.HEADER_SIZE, dtype=np.uint8)
+        orc = oracle.o_compress(
+            inp.ctypes.data_as(u8p), oblk.ctypes.data_as(u8p), n, 0, 0, 1, 1, 0
+        )
+        assert orc == len(blk)
+        assert oblk[:orc].tobytes() == blk

@@ -1,0 +1,90 @@
+"""CLI archiver: container format, round-trip, reference binary interop."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from tests.conftest import make_corpus
+from tests.oracle import bsc_binary
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(args):
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    return subprocess.run(
+        [sys.executable, "-m", "libbsc_tpu.cli"] + args,
+        capture_output=True, text=True, env=env,
+    )
+
+
+def test_cli_roundtrip(tmp_path, rng):
+    data = make_corpus(rng, 600000, "text")
+    inp = tmp_path / "in"
+    inp.write_bytes(data)
+    arch = tmp_path / "a.bsc"
+    out = tmp_path / "out"
+    r = run_cli(["e", str(inp), str(arch), "-b1"])
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["d", str(arch), str(out)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == data
+    assert arch.stat().st_size < len(data) // 2
+
+
+def test_cli_corrupt_archive_message(tmp_path, rng):
+    data = make_corpus(rng, 100000, "text")
+    inp = tmp_path / "in"
+    inp.write_bytes(data)
+    arch = tmp_path / "a.bsc"
+    assert run_cli(["e", str(inp), str(arch)]).returncode == 0
+    blob = bytearray(arch.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    arch.write_bytes(bytes(blob))
+    r = run_cli(["d", str(arch), str(tmp_path / "out")])
+    assert r.returncode == 2
+    assert "corrupt" in r.stderr.lower()
+
+
+def test_cli_not_an_archive(tmp_path):
+    f = tmp_path / "x"
+    f.write_bytes(b"definitely not a bsc archive")
+    r = run_cli(["d", str(f), str(tmp_path / "out")])
+    assert r.returncode == 1
+
+
+@pytest.mark.parametrize("flags", [[], ["-e0"], ["-m5", "-e0"], ["-p"], ["-b1"]])
+def test_cli_reference_binary_interop(tmp_path, rng, flags):
+    bsc = bsc_binary()
+    if bsc is None:
+        pytest.skip("reference binary unavailable")
+    data = make_corpus(rng, 800000, "text")
+    inp = tmp_path / "in"
+    inp.write_bytes(data)
+
+    mine = tmp_path / "m.bsc"
+    assert run_cli(["e", str(inp), str(mine)] + flags).returncode == 0
+    ref_out = tmp_path / "ref_out"
+    r = subprocess.run([bsc, "d", str(mine), str(ref_out)], capture_output=True)
+    assert r.returncode == 0
+    assert ref_out.read_bytes() == data
+
+    theirs = tmp_path / "r.bsc"
+    r = subprocess.run([bsc, "e", str(inp), str(theirs)] + flags, capture_output=True)
+    assert r.returncode == 0
+    my_out = tmp_path / "my_out"
+    assert run_cli(["d", str(theirs), str(my_out)]).returncode == 0
+    assert my_out.read_bytes() == data
+
+
+def test_cli_empty_file(tmp_path):
+    inp = tmp_path / "empty"
+    inp.write_bytes(b"")
+    arch = tmp_path / "a.bsc"
+    out = tmp_path / "out"
+    assert run_cli(["e", str(inp), str(arch)]).returncode == 0
+    assert run_cli(["d", str(arch), str(out)]).returncode == 0
+    assert out.read_bytes() == b""

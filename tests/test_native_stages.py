@@ -1,0 +1,168 @@
+"""Native engine stages: round-trip property tests + oracle cross-validation.
+
+The oracle tests pin bit-compatibility with the reference implementation
+(new-encoder stream == reference stream for QLFC/BWT/ST; mutual
+decodability for LZP, whose stream format admits multiple valid encoders).
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from libbsc_tpu import native
+from tests.conftest import make_corpus
+
+u8p = ctypes.POINTER(ctypes.c_ubyte)
+
+KINDS = ["text", "random", "runs", "zeros", "periodic"]
+SIZES = [100, 4096, 70000]
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not native.available():
+        pytest.skip("native library unavailable")
+    return native.load()
+
+
+# --- QLFC ---
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("coder", [1, 2, 3])
+def test_qlfc_roundtrip(lib, rng, kind, coder):
+    for n in SIZES:
+        data = np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8).copy()
+        out = np.zeros(2 * n + 4096, dtype=np.uint8)
+        rc = lib.tbsc_qlfc_encode_block(native._u8p(data), native._u8p(out), n, n - 1, coder)
+        if rc < 0:
+            assert rc == -3  # genuinely incompressible under budget n-1
+            continue
+        dec = np.zeros(n, dtype=np.uint8)
+        drc = lib.tbsc_qlfc_decode_block(native._u8p(out), native._u8p(dec), coder)
+        assert drc == n
+        assert np.array_equal(dec, data)
+
+
+@pytest.mark.parametrize("kind", ["text", "random", "runs"])
+@pytest.mark.parametrize("coder", [1, 2, 3])
+def test_qlfc_bit_exact_vs_reference(lib, oracle, rng, kind, coder):
+    for n in SIZES:
+        data = np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8).copy()
+        oout = np.zeros(2 * n + 4096, dtype=np.uint8)
+        orc = oracle.o_qlfc_encode(
+            data.ctypes.data_as(u8p), oout.ctypes.data_as(u8p), n, n - 1, coder
+        )
+        mout = np.zeros(2 * n + 4096, dtype=np.uint8)
+        mrc = lib.tbsc_qlfc_encode_block(native._u8p(data), native._u8p(mout), n, n - 1, coder)
+        assert mrc == orc
+        if orc > 0:
+            assert np.array_equal(oout[:orc], mout[:mrc])
+
+
+# --- BWT ---
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_bwt_matches_reference(lib, oracle, rng, kind):
+    for n in [64, 1000, 65537, 200000]:
+        data = np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8).copy()
+        oT = data.copy()
+        oni = ctypes.c_ubyte(0)
+        oI = (ctypes.c_int * 256)()
+        orc = oracle.o_bwt_encode(oT.ctypes.data_as(u8p), n, ctypes.byref(oni), oI, 0)
+        mT = data.copy()
+        mni = np.zeros(1, dtype=np.uint8)
+        mI = np.zeros(256, dtype=np.int32)
+        mrc = lib.tbsc_bwt_encode(native._u8p(mT), n, native._u8p(mni), native._i32p(mI), 1)
+        assert (orc, oni.value) == (mrc, mni[0])
+        assert np.array_equal(oT, mT)
+        assert all(oI[t] == mI[t] for t in range(oni.value))
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_bwt_roundtrip(lib, rng, kind):
+    for n in [2, 33, 1000, 70000]:
+        data = np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8).copy()
+        T = data.copy()
+        ni = np.zeros(1, dtype=np.uint8)
+        I = np.zeros(256, dtype=np.int32)
+        idx = lib.tbsc_bwt_encode(native._u8p(T), n, native._u8p(ni), native._i32p(I), 1)
+        assert idx > 0 or n <= 1
+        for use_aux in [int(ni[0]), 0]:
+            D = T.copy()
+            rc = lib.tbsc_bwt_decode(native._u8p(D), n, idx, use_aux, native._i32p(I), 1)
+            assert rc == 0
+            assert np.array_equal(D, data), (kind, n, use_aux)
+
+
+# --- ST ---
+
+@pytest.mark.parametrize("k", [3, 4, 5, 6, 7, 8])
+def test_st_roundtrip(lib, rng, k):
+    for kind in KINDS:
+        for n in [50, 1000, 70000]:
+            data = np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8).copy()
+            T = data.copy()
+            idx = lib.tbsc_st_encode(native._u8p(T), n, k, 1)
+            assert idx >= 0
+            D = T.copy()
+            rc = lib.tbsc_st_decode(native._u8p(D), n, k, idx, 1)
+            assert rc == 0
+            assert np.array_equal(D, data), (kind, n, k)
+
+
+@pytest.mark.parametrize("k", [3, 4, 5, 6])
+def test_st_matches_reference(lib, oracle, rng, k):
+    for kind in ["text", "random", "runs"]:
+        for n in [64, 1000, 70000]:
+            data = np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8).copy()
+            oT = np.concatenate([data, np.zeros(64, dtype=np.uint8)])
+            orc = oracle.o_st_encode(oT.ctypes.data_as(u8p), n, k, 0)
+            mT = data.copy()
+            mrc = lib.tbsc_st_encode(native._u8p(mT), n, k, 1)
+            assert orc == mrc
+            assert np.array_equal(oT[:n], mT)
+
+
+@pytest.mark.parametrize("k", [7, 8])
+def test_st78_decodable_by_reference(lib, oracle, rng, k):
+    """ST7/8 have no CPU encoder in the reference (GPU-only); our encoder's
+    output must be decodable by the reference decoder."""
+    for n in [1000, 70000]:
+        data = np.frombuffer(make_corpus(rng, n, "text"), dtype=np.uint8).copy()
+        mT = data.copy()
+        idx = lib.tbsc_st_encode(native._u8p(mT), n, k, 1)
+        dT = np.concatenate([mT, np.zeros(64, dtype=np.uint8)])
+        rc = oracle.o_st_decode(dT.ctypes.data_as(u8p), n, k, idx, 0)
+        assert rc == 0
+        assert np.array_equal(dT[:n], data)
+
+
+# --- LZP ---
+
+@pytest.mark.parametrize("hs,ml", [(15, 128), (16, 64), (10, 32), (17, 4)])
+def test_lzp_roundtrip_and_interop(lib, oracle, rng, hs, ml):
+    for kind in ["text", "random", "periodic"]:
+        for n in [200, 5000, 300000]:
+            data = np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8).copy()
+            mout = np.zeros(n + 4096, dtype=np.uint8)
+            mrc = lib.tbsc_lzp_compress(native._u8p(data), native._u8p(mout), n, hs, ml, 1)
+            if mrc >= 0:
+                dec = np.zeros(n + 64, dtype=np.uint8)
+                drc = lib.tbsc_lzp_decompress(native._u8p(mout), native._u8p(dec), mrc, hs, ml, 1)
+                assert drc == n and np.array_equal(dec[:n], data)
+                # reference decodes our stream
+                dec2 = np.zeros(n + 64, dtype=np.uint8)
+                drc2 = oracle.o_lzp_decompress(
+                    mout.ctypes.data_as(u8p), dec2.ctypes.data_as(u8p), mrc, hs, ml, 0
+                )
+                assert drc2 == n and np.array_equal(dec2[:n], data)
+            # we decode the reference's stream
+            oout = np.zeros(n + 4096, dtype=np.uint8)
+            orc = oracle.o_lzp_compress(
+                data.ctypes.data_as(u8p), oout.ctypes.data_as(u8p), n, hs, ml, 0
+            )
+            if orc >= 0:
+                dec3 = np.zeros(n + 64, dtype=np.uint8)
+                drc3 = lib.tbsc_lzp_decompress(native._u8p(oout), native._u8p(dec3), orc, hs, ml, 1)
+                assert drc3 == n and np.array_equal(dec3[:n], data)
