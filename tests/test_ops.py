@@ -1,0 +1,76 @@
+"""Device ops (ops/st.py, ops/bwt.py) vs the native host runtime.
+
+The native runtime is itself validated bit-exactly against the reference
+binary (test_native_stages.py), so agreement here closes the loop:
+device transform == reference transform.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import libbsc_tpu as B
+from libbsc_tpu import engine
+from libbsc_tpu.ops import st_encode, bwt_encode, bwt_decode
+from libbsc_tpu.ops.bwt import aux_rate
+
+from conftest import make_corpus
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _init():
+    B.init()
+
+
+SIZES = [2, 3, 17, 255, 4096, 100001]
+KINDS = ["text", "random", "runs", "zeros", "periodic"]
+
+
+def _data(rng, n, kind):
+    return np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8).copy()
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("n", SIZES)
+@pytest.mark.parametrize("k", [3, 4, 5, 6, 7, 8])
+def test_st_encode_matches_native(rng, n, kind, k):
+    d = _data(rng, n, kind)
+    out, idx = st_encode(jnp.asarray(d), k)
+    ref = d.copy()
+    ref_idx = engine.st_encode(ref, k, 0)
+    assert ref_idx >= 0
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert int(idx) == ref_idx
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("n", SIZES)
+def test_bwt_encode_matches_native(rng, n, kind):
+    d = _data(rng, n, kind)
+    U, primary, aux = bwt_encode(jnp.asarray(d))
+    ref = d.copy()
+    ref_primary, ref_ni, ref_idx = engine.bwt_encode(ref, 0)
+    assert ref_primary > 0
+    np.testing.assert_array_equal(np.asarray(U), ref)
+    assert int(primary) == ref_primary
+    assert aux.shape[0] == ref_ni == (n - 1) // aux_rate(n)
+    if ref_ni:
+        np.testing.assert_array_equal(np.asarray(aux), ref_idx[:ref_ni])
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("n", SIZES)
+def test_bwt_roundtrip_on_device(rng, n, kind):
+    d = _data(rng, n, kind)
+    U, primary, _ = bwt_encode(jnp.asarray(d))
+    dec = bwt_decode(U, primary)
+    np.testing.assert_array_equal(np.asarray(dec), d)
+
+
+def test_bwt_decode_native_stream(rng):
+    """Device inverse must decode a native-encoded (libsais-convention) BWT."""
+    d = _data(rng, 50000, "text")
+    ref = d.copy()
+    primary, _, _ = engine.bwt_encode(ref, 0)
+    dec = bwt_decode(jnp.asarray(ref), primary)
+    np.testing.assert_array_equal(np.asarray(dec), d)
