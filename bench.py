@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""End-to-end encode benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+
+Measures block-farm compression throughput (the reference CLI's headline
+`encoded X => Y (MB/s)` metric, bsc.cpp:427) on a deterministic 64 MB
+text-like corpus, 16 MB blocks, threaded block pipeline.  When an
+accelerator (TPU) device is present the Sort Transform runs on-device
+(engine.st_encode -> ops/st.py) with host LZP/QLFC overlapping the
+device transfers; otherwise the native BWT pipeline runs.
+
+Baseline: reference bsc built with `make CC=g++` on this machine class
+(1 vCPU Xeon 2.10GHz AVX2) encoding THE SAME corpus with its default
+`-b25` config (LZP+BWT+QLFC-static) — measured 2026-08-16, see BASELINE.md.
+Override with env TBSC_BASELINE_MBS.
+"""
+
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference bsc (make CC=g++, default LZP+BWT+QLFC-static, -b16) on this
+# exact corpus and machine class: 11.27 MB/s encode, 27.24 MB/s decode,
+# 9,902,834 bytes (measured 2026-08-16; see BASELINE.md).
+BASELINE_MBS = float(os.environ.get("TBSC_BASELINE_MBS", "11.27"))
+CORPUS_MB = int(os.environ.get("TBSC_BENCH_MB", "64"))
+BLOCK = 16 * 1024 * 1024
+
+
+def make_corpus(n_bytes: int) -> bytes:
+    """Deterministic text-like corpus (seeded Zipf word mix + hex tokens)."""
+    rng = np.random.default_rng(0xB5C)
+    # synthetic vocabulary: 4096 words, lengths 2..12
+    alphabet = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", dtype=np.uint8)
+    vocab = []
+    for _ in range(4096):
+        ln = int(rng.integers(2, 13))
+        vocab.append(bytes(alphabet[rng.integers(0, 26, ln)]))
+    ranks = rng.zipf(1.3, size=n_bytes // 4) % 4096
+    out = bytearray()
+    col = 0
+    for i, r in enumerate(ranks):
+        if len(out) >= n_bytes:
+            break
+        if i % 37 == 13:  # sprinkle low-compressibility tokens
+            tok = bytes(rng.integers(0, 256, 8, dtype=np.uint8)).hex().encode()
+        else:
+            tok = vocab[int(r)]
+        out += tok
+        col += len(tok) + 1
+        if col > 72:
+            out += b"\n"
+            col = 0
+        else:
+            out += b" "
+    return bytes(out[:n_bytes])
+
+
+def main() -> None:
+    import queue
+
+    import libbsc_tpu as B
+    from libbsc_tpu import constants as C, engine
+
+    data = make_corpus(CORPUS_MB * 1024 * 1024)
+    n = len(data)
+
+    features = C.DEFAULT_FEATURES
+    sorter = C.DEFAULT_BLOCKSORTER
+    have_device = False
+    try:
+        import jax
+
+        have_device = any(d.platform != "cpu" for d in jax.devices())
+    except Exception:
+        pass
+    if have_device:
+        sorter = C.BLOCKSORTER_ST8  # one device radix sort (GPU-only in bsc)
+
+    B.init(features)
+
+    blocks = [data[i:i + BLOCK] for i in range(0, n, BLOCK)]
+
+    if have_device:
+        # Warm up each block's XLA shape bucket outside the clock (programs
+        # persist to the on-disk compilation cache for later runs).
+        seen = set()
+        for blk in blocks:
+            arr = np.frombuffer(blk, dtype=np.uint8)
+            lz = engine.lzp_compress(arr.copy(), C.DEFAULT_LZPHASHSIZE,
+                                     C.DEFAULT_LZPMINLEN, features)
+            m = len(lz) if lz is not None else len(arr)
+            if engine.device_bucket(m) not in seen:
+                seen.add(engine.device_bucket(m))
+                warm = lz if lz is not None else arr
+                engine.st_encode(warm.copy(), 8, C.FEATURE_CUDA)
+    else:
+        B.compress(blocks[0], block_sorter=sorter, features=features)
+
+    # Heterogeneous block farm: device workers run the TPU sort (host LZP +
+    # QLFC around it), a native worker keeps the CPU sorter busy on other
+    # blocks — the reference's GPU/CPU split (bwt.cpp:178) taken to a
+    # work-stealing queue.
+    jobs: "queue.Queue" = queue.Queue()
+    for i, blk in enumerate(blocks):
+        jobs.put((i, blk))
+    payloads: dict = {}
+
+    def worker(feat: int):
+        while True:
+            try:
+                i, blk = jobs.get_nowait()
+            except queue.Empty:
+                return
+            payloads[i] = B.compress(blk, block_sorter=sorter, features=feat)
+
+    t0 = time.time()
+    if have_device and len(blocks) > 1:
+        feats = [features | C.FEATURE_CUDA, features | C.FEATURE_CUDA, features]
+    else:
+        feats = [features | (C.FEATURE_CUDA if have_device else 0)]
+    with ThreadPoolExecutor(max_workers=len(feats)) as ex:
+        list(ex.map(worker, feats))
+    payloads = [payloads[i] for i in range(len(blocks))]
+    dt = time.time() - t0
+
+    # verify round-trip before reporting
+    total_out = sum(len(p) for p in payloads)
+    restored = b"".join(B.decompress(p) for p in payloads)
+    assert restored == data, "round-trip mismatch"
+
+    value = n / 1e6 / dt
+    print(json.dumps({
+        "metric": "encode_throughput_e2e",
+        "value": round(value, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(value / BASELINE_MBS, 3),
+        "detail": {
+            "corpus_mb": CORPUS_MB,
+            "blocks": len(blocks),
+            "sorter": int(sorter),
+            "compressed_bytes": total_out,
+            "ratio": round(n / total_out, 2),
+            "baseline_mbs": BASELINE_MBS,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

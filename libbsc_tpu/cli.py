@@ -44,6 +44,7 @@ class Params:
     lzp = True
     lzp_hash_size = 15
     lzp_min_len = 128
+    gpu = False  # -G: device (TPU) sort, like the reference's CUDA flag
 
     def features(self):
         f = C.FEATURE_NONE
@@ -51,6 +52,8 @@ class Params:
             f |= C.FEATURE_FASTMODE
         if self.multithreading:
             f |= C.FEATURE_MULTITHREADING
+        if self.gpu:
+            f |= C.FEATURE_CUDA
         return f
 
 
@@ -228,7 +231,7 @@ Switches:
   -r       Enable record reordering
   -t       Disable parallel blocks processing
   -T       Disable multi-core systems support
-  -G       (accepted for parity; this build targets TPU)
+  -G       Enable accelerator (TPU) block sorting
 """
 
 
@@ -279,7 +282,7 @@ def parse_args(argv):
             p.parallel = False
             p.multithreading = False
         elif body.startswith("G"):
-            pass  # GPU flag: no-op on TPU build
+            p.gpu = True  # device sort: TPU here (reference: CUDA)
         elif body == "f":
             p.fastmode = True
         else:

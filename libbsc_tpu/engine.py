@@ -19,6 +19,10 @@ from . import constants as C
 _native = None
 _num_threads = 1
 _force = os.environ.get("TBSC_ENGINE", "").lower() or None
+_device = None  # non-CPU JAX device, probed lazily when requested
+
+# Blocks below this size are not worth the host<->device round trip.
+_DEVICE_MIN_BLOCK = 1 << 20
 
 
 def init(features: int) -> None:
@@ -30,6 +34,46 @@ def init(features: int) -> None:
             _native = native_mod
     if features & C.FEATURE_MULTITHREADING:
         _num_threads = os.cpu_count() or 1
+
+
+def _device_sort(features: int) -> bool:
+    """True when the accelerator sort path is requested and available.
+
+    Mirrors the reference's GPU dispatch (bwt/bwt.cpp:178-181, st/st.cpp:
+    990-1012): the FEATURE_CUDA bit requests device sorting; absence of a
+    device falls back silently to the host path.
+    """
+    global _device
+    if _force == "numpy":
+        return False
+    if _force != "tpu" and not (features & C.FEATURE_CUDA):
+        return False
+    if _device is None:
+        try:
+            import jax
+
+            try:  # persist XLA programs across processes (bench, CLI runs)
+                cache = os.environ.get(
+                    "TBSC_JAX_CACHE",
+                    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                pass
+            devs = [d for d in jax.devices() if d.platform != "cpu"]
+            _device = devs[0] if devs else False
+        except Exception:
+            _device = False
+    return bool(_device)
+
+
+def device_bucket(n: int) -> int:
+    """Padded shape bucket for device transforms: geometric 1.25x steps from
+    1 MiB, so variable-size LZP outputs share one XLA program per bucket."""
+    n_pad = _DEVICE_MIN_BLOCK
+    while n_pad < n:
+        n_pad = (n_pad * 5 + 3) // 4
+    return n_pad
 
 
 def _lib():
@@ -128,6 +172,21 @@ def bwt_decode(data: np.ndarray, index: int, num_indexes: int, indexes, features
 
 def st_encode(data: np.ndarray, k: int, features: int):
     n = len(data)
+    if n >= _DEVICE_MIN_BLOCK and _device_sort(features):
+        try:
+            import jax.numpy as jnp
+
+            from .ops.st import st_encode_padded as _dev_st
+
+            n_pad = device_bucket(n)
+            padded = np.zeros(n_pad, dtype=np.uint8)
+            padded[:n] = data
+            out, idx = _dev_st(jnp.asarray(padded), n, k)
+            out = np.asarray(out)  # blocks this thread; GIL released in D2H
+            data[:] = out[:n]
+            return int(idx)
+        except Exception:
+            pass  # silent host fallback, like the reference GPU path
     lib = _lib()
     if lib is not None:
         from .native import _u8p

@@ -68,3 +68,54 @@ def st_encode(data: jax.Array, k: int):
                                    is_stable=True)
     index = jnp.argmax(pos_s == 0).astype(jnp.int32)
     return prev_s, index
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def st_encode_padded(data: jax.Array, n: jax.Array, k: int):
+    """Forward ST-k of the first n bytes of a padded buffer.
+
+    Shape-bucketed variant: the buffer shape is static (one XLA program per
+    bucket) while the true length n is a traced scalar, so variable-size
+    LZP outputs share compilations.  Padded positions carry a leading
+    is-pad sort key and sink stably to the tail; the caller slices the
+    first n output bytes.
+    """
+    if not 3 <= k <= 8:
+        raise ValueError(f"ST order must be in [3, 8], got {k}")
+    n_pad = data.shape[0]
+    n = jnp.asarray(n, dtype=jnp.int32)
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    d32 = data.astype(jnp.uint32)
+
+    def ctx_byte(j: int) -> jax.Array:
+        # T[(i + j) mod n]: a static roll covers i + j < n; positions in
+        # [n - j, n) wrap to data[i + j - n], which is a dynamic roll by
+        # n - j.  (Rolls are contiguous copies — far cheaper than gathers.)
+        if j == 0:
+            return d32
+        straight = jnp.roll(d32, -j)
+        wrapped = jnp.roll(d32, n - j)
+        return jnp.where(idx < n - j, straight, wrapped)
+
+    hi = jnp.zeros(n_pad, dtype=jnp.uint32)
+    for j in range(min(k, 4)):
+        hi = (hi << 8) | ctx_byte(j)
+    hi = hi << (8 * (4 - min(k, 4)))
+
+    lo = jnp.zeros(n_pad, dtype=jnp.uint32)
+    for j in range(4, k):
+        lo = (lo << 8) | ctx_byte(j)
+    lo = lo << (8 * (8 - max(k, 4)))
+
+    # pad keys forced to the maximum; stability (pads have positions >= n,
+    # after every real tie) keeps all n real entries in the first n slots
+    pad = idx >= n
+    hi = jnp.where(pad, jnp.uint32(0xFFFFFFFF), hi)
+    lo = jnp.where(pad, jnp.uint32(0xFFFFFFFF), lo)
+
+    prev = jnp.roll(data, 1).at[0].set(data[n - 1])  # T[(i-1) mod n]
+
+    _, _, prev_s, pos_s = lax.sort((hi, lo, prev, idx), num_keys=2,
+                                   is_stable=True)
+    index = jnp.argmax(pos_s == 0).astype(jnp.int32)
+    return prev_s, index

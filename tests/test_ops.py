@@ -67,6 +67,21 @@ def test_bwt_roundtrip_on_device(rng, n, kind):
     np.testing.assert_array_equal(np.asarray(dec), d)
 
 
+@pytest.mark.parametrize("n", [5, 300, 4096])
+@pytest.mark.parametrize("k", [3, 5, 8])
+def test_st_encode_padded_matches_unpadded(rng, n, k):
+    from libbsc_tpu.ops.st import st_encode_padded
+
+    d = _data(rng, n, "text")
+    o1, i1 = st_encode(jnp.asarray(d), k)
+    n_pad = -(-n // 128) * 128
+    p = np.zeros(n_pad, np.uint8)
+    p[:n] = d
+    o2, i2 = st_encode_padded(jnp.asarray(p), n, k)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2)[:n])
+    assert int(i1) == int(i2)
+
+
 def test_bwt_decode_native_stream(rng):
     """Device inverse must decode a native-encoded (libsais-convention) BWT."""
     d = _data(rng, 50000, "text")
