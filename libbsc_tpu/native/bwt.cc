@@ -33,77 +33,94 @@ using i32 = int32_t;
 namespace sais {
 
 // s: sequence of n symbols in [0, K); SA: output of length n.
-// GetC abstracts u8 vs i32 input for the recursive call.
+//
+// Hot-path layout: each level builds a fused array v[i] = 2*s[i] + t[i]
+// (t = 1 for S-type) so the induce loops issue ONE random load per step
+// instead of two, and the (char, type) sub-bucket boundaries come from a
+// single 2K-wide histogram (L sub-bucket of char c = value 2c, S = 2c+1).
 
-template <typename CharT>
-static void get_counts(const CharT* s, i32* cnt, i32 n, i32 K) {
-  std::memset(cnt, 0, sizeof(i32) * (size_t)K);
-  for (i32 i = 0; i < n; ++i) ++cnt[s[i]];
+template <typename VT>
+static inline bool is_lms(const VT* v, i32 i) {
+  return i > 0 && (v[i] & 1) && !(v[i - 1] & 1);
 }
 
-static void get_starts(const i32* cnt, i32* bkt, i32 K) {
-  i32 sum = 0;
-  for (i32 c = 0; c < K; ++c) { bkt[c] = sum; sum += cnt[c]; }
-}
-
-static void get_ends(const i32* cnt, i32* bkt, i32 K) {
-  i32 sum = 0;
-  for (i32 c = 0; c < K; ++c) { sum += cnt[c]; bkt[c] = sum; }
-}
-
-// suffix type: 1 = S-type, 0 = L-type.  The virtual sentinel is the unique
-// smallest suffix, so suffix n-1 (a single char > sentinel) is L-type.
-template <typename CharT>
-static void compute_types(const CharT* s, u8* t, i32 n) {
-  t[n - 1] = 0;
-  for (i32 i = n - 2; i >= 0; --i)
-    t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
-}
-
-static inline bool is_lms(const u8* t, i32 i) { return i > 0 && t[i] && !t[i - 1]; }
-
-template <typename CharT>
-static void induce(const CharT* s, i32* SA, const u8* t, i32* cnt, i32* bkt,
+template <typename VT>
+static void induce(const VT* v, i32* SA, const i32* cnt2, i32* bkt2,
                    i32 n, i32 K) {
   // induce L-type from left to right; virtual sentinel first induces n-1
-  get_starts(cnt, bkt, K);
-  if (!t[n - 1]) SA[bkt[s[n - 1]]++] = n - 1;
-  for (i32 i = 0; i < n; ++i) {
-    i32 j = SA[i];
-    if (j > 0 && !t[j - 1]) SA[bkt[s[j - 1]]++] = j - 1;
+  {
+    i32 sum = 0;
+    for (i32 c = 0; c < 2 * K; ++c) { bkt2[c] = sum; sum += cnt2[c]; }
   }
-  // induce S-type from right to left
-  get_ends(cnt, bkt, K);
-  for (i32 i = n - 1; i >= 0; --i) {
+  SA[bkt2[v[n - 1]]++] = n - 1;  // suffix n-1 is always L-type
+  // The scan is latency-bound on v[SA[i]-1]; in the L pass every slot is
+  // written before the scan reaches it, so prefetching a lookahead slot's
+  // target hides most of the miss.
+  for (i32 i = 0; i < n; ++i) {
+    if (i + 24 < n) {
+      i32 jp = SA[i + 24];
+      if (jp > 0) __builtin_prefetch(&v[jp - 1]);
+    }
     i32 j = SA[i];
-    if (j > 0 && t[j - 1]) SA[--bkt[s[j - 1]]] = j - 1;
+    if (j > 0) {
+      i32 vj = v[j - 1];
+      if (!(vj & 1)) SA[bkt2[vj]++] = j - 1;
+    }
+  }
+  // induce S-type from right to left (place at S sub-bucket ends)
+  {
+    i32 sum = 0;
+    for (i32 c = 0; c < 2 * K; ++c) { sum += cnt2[c]; bkt2[c] = sum; }
+  }
+  for (i32 i = n - 1; i >= 0; --i) {
+    if (i - 24 >= 0) {
+      i32 jp = SA[i - 24];
+      if (jp > 0) __builtin_prefetch(&v[jp - 1]);
+    }
+    i32 j = SA[i];
+    if (j > 0) {
+      i32 vj = v[j - 1];
+      if (vj & 1) SA[--bkt2[vj]] = j - 1;
+    }
   }
 }
 
-template <typename CharT>
-static void sais_rec(const CharT* s, i32* SA, i32 n, i32 K, u8* tbuf, i32* cntbuf,
-                     i32* names) {
+// VT: fused-value type — u16 at the byte level (2*256 values, denser in
+// cache), i32 for recursion levels (names can exceed 2^15).
+template <typename CharT, typename VT>
+static void sais_rec(const CharT* s, i32* SA, i32 n, i32 K, void* vbuf,
+                     i32* cntbuf, i32* names) {
   if (n == 1) { SA[0] = 0; return; }
 
-  u8* t = tbuf;
-  compute_types(s, t, n);
+  // fused (char, type) values; suffix n-1 is L-type (sentinel is smaller)
+  VT* v = (VT*)vbuf;
+  v[n - 1] = (VT)(2 * (i32)s[n - 1]);
+  for (i32 i = n - 2; i >= 0; --i) {
+    i32 tnext = v[i + 1] & 1;
+    v[i] = (VT)(2 * (i32)s[i] +
+           ((s[i] < s[i + 1] || (s[i] == s[i + 1] && tnext)) ? 1 : 0));
+  }
 
-  i32* cnt = cntbuf;
-  i32* bkt = cntbuf + K;
-  get_counts(s, cnt, n, K);
+  i32* cnt2 = cntbuf;
+  i32* bkt2 = cntbuf + 2 * K;
+  std::memset(cnt2, 0, sizeof(i32) * (size_t)(2 * K));
+  for (i32 i = 0; i < n; ++i) ++cnt2[v[i]];
 
   // Step 1: place LMS suffixes at bucket ends (in text order), induce.
   for (i32 i = 0; i < n; ++i) SA[i] = -1;
-  get_ends(cnt, bkt, K);
+  {
+    i32 sum = 0;
+    for (i32 c = 0; c < 2 * K; ++c) { sum += cnt2[c]; bkt2[c] = sum; }
+  }
   for (i32 i = n - 1; i > 0; --i)
-    if (is_lms(t, i)) SA[--bkt[s[i]]] = i;
-  induce(s, SA, t, cnt, bkt, n, K);
+    if (is_lms(v, i)) SA[--bkt2[v[i]]] = i;
+  induce(v, SA, cnt2, bkt2, n, K);
 
   // Step 2: compact sorted LMS suffixes, name LMS substrings.
   i32 n_lms = 0;
   for (i32 i = 0; i < n; ++i) {
     i32 j = SA[i];
-    if (j > 0 && t[j] && !t[j - 1]) SA[n_lms++] = j;
+    if (is_lms(v, j)) SA[n_lms++] = j;
   }
 
   i32 name = 0, prev = -1;
@@ -112,13 +129,13 @@ static void sais_rec(const CharT* s, i32* SA, i32 n, i32 K, u8* tbuf, i32* cntbu
     bool diff = false;
     if (prev < 0) diff = true;
     else {
-      // Compare LMS substrings at pos and prev (chars + types up to and
-      // including the next LMS position; reaching the end is unique).
+      // Compare LMS substrings at pos and prev: the fused values cover
+      // chars + types; stop at the next LMS position (end is unique).
       for (i32 d = 0;; ++d) {
         if (pos + d == n || prev + d == n) { diff = true; break; }
-        if (s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) { diff = true; break; }
-        if (d > 0 && (is_lms(t, pos + d) || is_lms(t, prev + d))) {
-          diff = !(is_lms(t, pos + d) && is_lms(t, prev + d));
+        if (v[pos + d] != v[prev + d]) { diff = true; break; }
+        if (d > 0 && (is_lms(v, pos + d) || is_lms(v, prev + d))) {
+          diff = !(is_lms(v, pos + d) && is_lms(v, prev + d));
           break;
         }
       }
@@ -132,28 +149,30 @@ static void sais_rec(const CharT* s, i32* SA, i32 n, i32 K, u8* tbuf, i32* cntbu
     // recurse, then map the reduced suffix array back to text positions.
     i32* s1 = SA + n - n_lms;
     i32 k = 0;
-    for (i32 i = 0; i < n; ++i)
-      if (is_lms(t, i)) s1[k++] = names[i >> 1];
-    sais_rec<i32>(s1, SA, n_lms, name, tbuf + n, cntbuf + 2 * K, names);
+    for (i32 i = 1; i < n; ++i)
+      if (is_lms(v, i)) s1[k++] = names[i >> 1];
+    sais_rec<i32, i32>(s1, SA, n_lms, name, (i32*)vbuf + n, cntbuf + 4 * K, names);
     i32* lms_pos = s1;  // reuse tail: LMS positions in text order
     k = 0;
-    for (i32 i = 0; i < n; ++i)
-      if (is_lms(t, i)) lms_pos[k++] = i;
-    compute_types(s, t, n);  // recursion clobbered this level's types
+    for (i32 i = 1; i < n; ++i)
+      if (is_lms(v, i)) lms_pos[k++] = i;
     for (i32 i = 0; i < n_lms; ++i) SA[i] = lms_pos[SA[i]];
   }
   // else: SA[0..n_lms) already holds LMS suffixes in sorted order.
+  // (v is intact — the recursion used vbuf + n.)
 
   // Step 3: final induce from sorted LMS suffixes.
-  get_counts(s, cnt, n, K);
-  get_ends(cnt, bkt, K);
+  {
+    i32 sum = 0;
+    for (i32 c = 0; c < 2 * K; ++c) { sum += cnt2[c]; bkt2[c] = sum; }
+  }
   for (i32 i = n_lms; i < n; ++i) SA[i] = -1;
   for (i32 i = n_lms - 1; i >= 0; --i) {
     i32 j = SA[i];
     SA[i] = -1;
-    SA[--bkt[s[j]]] = j;
+    SA[--bkt2[v[j]]] = j;
   }
-  induce(s, SA, t, cnt, bkt, n, K);
+  induce(v, SA, cnt2, bkt2, n, K);
 }
 
 }  // namespace sais
@@ -162,17 +181,18 @@ static void sais_rec(const CharT* s, i32* SA, i32 n, i32 K, u8* tbuf, i32* cntbu
 int suffix_array(const u8* T, i32* SA, i32 n) {
   if (n <= 0) return -1;
   if (n == 1) { SA[0] = 0; return 0; }
-  // type buffer: recursion levels need n + n/2 + n/4 + ... <= 2n bytes
-  u8* tbuf = new (std::nothrow) u8[(size_t)2 * n + 8];
-  // count+bucket buffers: 2*K per level, bounded by 2*(256 + n) ints
-  i32* cntbuf = new (std::nothrow) i32[(size_t)2 * n + 1024];
+  // fused (char,type) values: u16 at the top level, i32 below; the i32
+  // recursion levels need n/2 + n/4 + ... <= n ints starting at offset n
+  i32* vbuf = new (std::nothrow) i32[(size_t)2 * n + 8];
+  // count+bucket buffers: 4*K per level, bounded by 1024 + 4n ints
+  i32* cntbuf = new (std::nothrow) i32[(size_t)4 * n + 2048];
   i32* names = new (std::nothrow) i32[(size_t)(n >> 1) + 2];
-  if (!tbuf || !cntbuf || !names) {
-    delete[] tbuf; delete[] cntbuf; delete[] names;
+  if (!vbuf || !cntbuf || !names) {
+    delete[] vbuf; delete[] cntbuf; delete[] names;
     return -2;
   }
-  sais::sais_rec<u8>(T, SA, n, 256, tbuf, cntbuf, names);
-  delete[] tbuf;
+  sais::sais_rec<u8, uint16_t>(T, SA, n, 256, vbuf, cntbuf, names);
+  delete[] vbuf;
   delete[] cntbuf;
   delete[] names;
   return 0;
@@ -227,6 +247,7 @@ int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/)
 // Inverse BWT.  index/aux semantics per the encode above.
 int bwt_decode(u8* T, int n, int index, int num_indexes, const i32* indexes,
                int num_threads) {
+  (void)num_threads;  // the interleaved chase saturates one core's MLP
   if (n <= 1) return 0;
   if (index <= 0 || index > n) return -1;
 
@@ -263,22 +284,35 @@ int bwt_decode(u8* T, int n, int index, int num_indexes, const i32* indexes,
       k = lf[u];
     }
   } else {
+    // chain t starts at the row of suffix t*r and writes positions
+    // [t*r - 1 .. (t-1)*r] going backward; chain 0 starts at the sentinel
+    // row (k=0, whose preceding char is T[n-1]) and writes the tail
+    // [n-1 .. num_indexes*r].  All chains advance together in one loop:
+    // each LF step is a dependent cache miss, so interleaving keeps
+    // n_chains misses in flight instead of one (memory-level parallelism —
+    // the single-core analog of the reference's parallel chain decode).
     int n_chains = num_indexes + 1;
-#ifdef _OPENMP
-    #pragma omp parallel for schedule(dynamic) num_threads(num_threads > 1 ? num_threads : 1) if (num_threads > 1)
-#endif
+    i32 kk[256];
+    int hi[256], lo[256];
     for (int t = 0; t < n_chains; ++t) {
-      // chain t starts at the row of suffix t*r and writes positions
-      // [t*r - 1 .. (t-1)*r] going backward; chain 0 starts at the sentinel
-      // row (k=0, whose preceding char is T[n-1]) and writes the tail
-      // [n-1 .. num_indexes*r].
-      i32 k = (t == 0) ? 0 : indexes[t - 1] + 1;
-      int hi = (t == 0) ? n - 1 : t * r - 1;
-      int lo = (t == 0) ? num_indexes * r : (t - 1) * r;
-      for (int pos = hi; pos >= lo; --pos) {
+      kk[t] = (t == 0) ? 0 : indexes[t - 1] + 1;
+      hi[t] = (t == 0) ? n - 1 : t * r - 1;
+      lo[t] = (t == 0) ? num_indexes * r : (t - 1) * r;
+    }
+    int active = n_chains;
+    while (active > 0) {
+      active = 0;
+      for (int t = 0; t < n_chains; ++t) {
+        if (hi[t] < lo[t]) continue;
+        ++active;
+        i32 k = kk[t];
         i32 u = k - (k > index ? 1 : 0);
-        out[pos] = T[u];
+        out[hi[t]--] = T[u];
         k = lf[u];
+        kk[t] = k;
+        i32 un = k - (k > index ? 1 : 0);
+        __builtin_prefetch(&lf[un]);
+        __builtin_prefetch(&T[un]);
       }
     }
   }
