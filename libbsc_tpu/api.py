@@ -24,6 +24,7 @@ from .format.header import (
     BlockHeader,
 )
 from .utils.adler32 import adler32
+from .utils.trace import stage
 
 
 class BscError(Exception):
@@ -110,7 +111,8 @@ def compress(
     # LZP preprocessing
     lzp_enabled = mode != (mode & 0xFF)
     if lzp_enabled:
-        lz = engine.lzp_compress(buf, lzp_hash_size, lzp_min_len, features)
+        with stage("lzp_compress", n):
+            lz = engine.lzp_compress(buf, lzp_hash_size, lzp_min_len, features)
         if lz is None:
             mode &= 0xFF
             lz = buf.copy()
@@ -123,9 +125,11 @@ def compress(
 
     # Block sort
     if block_sorter == C.BLOCKSORTER_BWT:
-        index, num_indexes, indexes = engine.bwt_encode(lz, features)
+        with stage("bwt_encode", len(lz)):
+            index, num_indexes, indexes = engine.bwt_encode(lz, features)
     elif C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8:
-        index = engine.st_encode(lz, block_sorter, features)
+        with stage(f"st{block_sorter}_encode", len(lz)):
+            index = engine.st_encode(lz, block_sorter, features)
         num_indexes, indexes = 0, None
     else:
         raise BscError(C.BAD_PARAMETER)
@@ -135,7 +139,8 @@ def compress(
         num_indexes = 0
 
     # Entropy coding
-    payload = engine.coder_compress(lz, coder, features)
+    with stage("coder_compress", len(lz)):
+        payload = engine.coder_compress(lz, coder, features)
     if payload is None or len(payload) + 1 + 4 * num_indexes >= n:
         return store(data)
 
@@ -184,25 +189,29 @@ def decompress(block: bytes, expected_size: int | None = None) -> bytes:
     coder = (h.mode >> 5) & 0x7
     block_sorter = h.mode & 0x1F
 
-    lz = engine.coder_decompress(
-        np.frombuffer(payload, dtype=np.uint8), coder, features,
-        capacity=h.data_size + 4096,
-    )
+    with stage("coder_decompress", len(payload)):
+        lz = engine.coder_decompress(
+            np.frombuffer(payload, dtype=np.uint8), coder, features,
+            capacity=h.data_size + 4096,
+        )
     if isinstance(lz, int):
         raise BscError(lz, _ERROR_NAMES.get(lz, str(lz)))
 
     if block_sorter == C.BLOCKSORTER_BWT:
-        rc = engine.bwt_decode(lz, h.index, num_indexes, indexes, features)
+        with stage("bwt_decode", len(lz)):
+            rc = engine.bwt_decode(lz, h.index, num_indexes, indexes, features)
     elif C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8:
-        rc = engine.st_decode(lz, block_sorter, h.index, features)
+        with stage(f"st{block_sorter}_decode", len(lz)):
+            rc = engine.st_decode(lz, block_sorter, h.index, features)
     else:
         raise BscError(C.DATA_CORRUPT)
     if rc < 0:
         raise BscError(rc, _ERROR_NAMES.get(rc, str(rc)))
 
     if lzp_hash_size or lzp_min_len:
-        out = engine.lzp_decompress(lz, lzp_hash_size, lzp_min_len, features,
-                                    capacity=h.data_size + 4096)
+        with stage("lzp_decompress", len(lz)):
+            out = engine.lzp_decompress(lz, lzp_hash_size, lzp_min_len, features,
+                                        capacity=h.data_size + 4096)
     else:
         out = lz
 
@@ -210,3 +219,26 @@ def decompress(block: bytes, expected_size: int | None = None) -> bytes:
     if len(result) != h.data_size or h.adler32_data != adler32(result):
         raise BscError(C.DATA_CORRUPT)
     return result
+
+
+def compress_inplace(buf: bytearray, **kwargs) -> int:
+    """bsc_compress_inplace parity (libbsc.cpp:83): compress buf into itself.
+
+    Returns the compressed block size; buf[:size] holds the block.  Python
+    buffers manage their own capacity, so this simply rewrites the prefix.
+    """
+    blob = compress(bytes(buf), **kwargs)
+    if len(blob) > len(buf):
+        raise BscError(C.NOT_COMPRESSIBLE, "output larger than buffer")
+    buf[: len(blob)] = blob
+    return len(blob)
+
+
+def decompress_inplace(buf: bytearray, block_size: int, data_size: int) -> int:
+    """bsc_decompress_inplace parity (libbsc.cpp:420): decode block at the
+    head of buf into buf.  Returns the decoded size."""
+    data = decompress(bytes(buf[:block_size]), expected_size=data_size)
+    if len(data) > len(buf):
+        buf.extend(b"\0" * (len(data) - len(buf)))
+    buf[: len(data)] = data
+    return len(data)
