@@ -50,16 +50,29 @@ from .constants import (
     DEFAULT_FEATURES,
     HEADER_SIZE,
 )
-from .api import init, compress, store, block_info, decompress, BscError
+from .api import (
+    init,
+    init_full,
+    compress,
+    compress_inplace,
+    store,
+    block_info,
+    decompress,
+    decompress_inplace,
+    BscError,
+)
 
 __version__ = LIBBSC_VERSION_STRING
 
 __all__ = [
     "init",
+    "init_full",
     "compress",
+    "compress_inplace",
     "store",
     "block_info",
     "decompress",
+    "decompress_inplace",
     "BscError",
     "__version__",
 ]

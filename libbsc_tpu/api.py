@@ -59,6 +59,18 @@ def init(features: int = C.DEFAULT_FEATURES) -> int:
     return C.NO_ERROR
 
 
+def init_full(features: int = C.DEFAULT_FEATURES, malloc=None, zero_malloc=None,
+              free=None) -> int:
+    """bsc_init_full parity (libbsc.cpp:46): init with allocator hooks.
+
+    The reference lets callers plug a custom allocator (platform.cpp:173).
+    Host buffers here are numpy-managed and device buffers live in HBM under
+    the XLA allocator, so the hooks are accepted for ABI parity and ignored.
+    """
+    del malloc, zero_malloc, free
+    return init(features)
+
+
 def _ensure_init():
     if not _initialized:
         init()

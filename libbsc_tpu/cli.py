@@ -152,11 +152,18 @@ def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
             return offset, rs, ctx, blob
 
         workers = (os.cpu_count() or 1) if p.parallel else 1
+        done = 0
         with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
             for offset, rs, ctx, blob in ex.map(job, read_blocks()):
+                if not quiet and in_size > 0:
+                    print(f"\rCompressing {inp}({100 * done // max(in_size, 1):02d}%)",
+                          end="", flush=True)
                 out.write(struct.pack(BLOCK_HEADER_FMT, offset, rs, ctx))
                 out.write(blob)
                 out_size += BLOCK_HEADER_SIZE + len(blob)
+                done = offset
+        if not quiet:
+            print("\r", end="")
 
     dt = time.time() - t0
     if not quiet:
@@ -205,10 +212,15 @@ def decompress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None
         total = 0
         workers = (os.cpu_count() or 1) if p.parallel else 1
         with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
-            for offset, data in ex.map(job, read_jobs()):
+            for b, (offset, data) in enumerate(ex.map(job, read_jobs())):
+                if not quiet and n_blocks > 0:
+                    print(f"\rDecompressing {inp}({100 * b // n_blocks:02d}%)",
+                          end="", flush=True)
                 out.seek(offset)
                 out.write(data)
                 total += len(data)
+        if not quiet:
+            print("\r", end="")
 
     dt = time.time() - t0
     if not quiet:
