@@ -133,6 +133,20 @@ def lzp_decompress(data: np.ndarray, hash_size: int, min_len: int, features: int
 def bwt_encode(data: np.ndarray, features: int):
     """In-place-style BWT; returns (index, num_indexes, indexes)."""
     n = len(data)
+    if _force == "tpu" and n >= _DEVICE_MIN_BLOCK and _device_sort(features | C.FEATURE_CUDA):
+        # experimental full-device route (prefix-doubling suffix sort);
+        # correct but sort-round bound — opt-in via TBSC_ENGINE=tpu only
+        try:
+            import jax.numpy as jnp
+
+            from .ops.bwt import bwt_encode as _dev_bwt
+
+            U, primary, aux = _dev_bwt(jnp.asarray(data))
+            data[:] = np.asarray(U)
+            aux = np.asarray(aux, dtype=np.int32)
+            return int(primary), int(aux.shape[0]), aux
+        except Exception:
+            pass
     lib = _lib()
     if lib is not None:
         from .native import _u8p, _i32p

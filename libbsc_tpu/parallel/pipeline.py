@@ -37,12 +37,26 @@ except Exception:  # pragma: no cover
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None,
-              sp: int | None = None) -> Mesh:
-    """Build a (dp, sp) mesh over the first n_devices devices."""
-    devices = jax.devices()
+              sp: int | None = None, devices=None) -> Mesh:
+    """Build a (dp, sp) mesh over the first n_devices devices.
+
+    Falls back to the CPU backend's (virtual) devices when the default
+    backend has too few — the host platform honors
+    --xla_force_host_platform_device_count even when an accelerator plugin
+    owns the default backend.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                devices = jax.devices("cpu")
+            except RuntimeError:
+                pass
     if n_devices is None:
         n_devices = len(devices)
     devices = devices[:n_devices]
+    if len(devices) < n_devices:
+        raise ValueError(f"need {n_devices} devices, have {len(devices)}")
     if dp is None and sp is None:
         sp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
         dp = n_devices // sp
