@@ -46,11 +46,46 @@ def _log2_ceil(n: int) -> int:
 
 @jax.jit
 def suffix_array(data: jax.Array):
-    """Suffix array + inverse (ranks) of uint8[n] via prefix doubling."""
+    """Suffix array + inverse (ranks) of uint8[n] via prefix doubling.
+
+    Bootstraps at depth 8 with one two-word lexicographic byte sort
+    (saving three doubling rounds vs single-byte ranks).  Out-of-range
+    bytes pad with 0, which may conflate a suffix end with real 0x00
+    bytes at this depth — safe, because equal initial ranks only defer
+    the decision, and the next round's rank[i+8] = -1 for exhausted
+    suffixes orders them correctly.
+    """
     n = data.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    rank = data.astype(jnp.int32)
+    d32 = data.astype(jnp.uint32)
+
+    def pbyte(j: int) -> jax.Array:
+        # data[i + j] with zero padding past the end (static shift)
+        return jnp.where(idx + j < n,
+                         jnp.roll(d32, -j),
+                         0)
+
+    hi = jnp.zeros(n, dtype=jnp.uint32)
+    lo = jnp.zeros(n, dtype=jnp.uint32)
+    for j in range(4):
+        hi = (hi << 8) | pbyte(j)
+        lo = (lo << 8) | pbyte(j + 4)
+
+    # Remaining-length key (clamped to 8): when two zero-padded windows are
+    # equal and BOTH suffixes end inside the window, no later round can
+    # separate them (both rank[i+8] are out of range); the shorter suffix is
+    # a prefix of the longer and must rank first.
+    rem = jnp.minimum(n - idx, 8).astype(jnp.uint32)
+    hi_s, lo_s, rem_s, pos_s = lax.sort((hi, lo, rem, idx), num_keys=3,
+                                        is_stable=True)
+    head = jnp.concatenate([
+        jnp.zeros(1, dtype=jnp.int32),
+        ((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+         | (rem_s[1:] != rem_s[:-1])).astype(jnp.int32),
+    ])
+    rank_sorted = jnp.cumsum(head, dtype=jnp.int32)
+    rank = jnp.zeros(n, dtype=jnp.int32).at[pos_s].set(rank_sorted)
 
     def round_body(state):
         rank, k, _ = state
@@ -71,10 +106,12 @@ def suffix_array(data: jax.Array):
         _, k, done = state
         return (~done) & (k < 2 * n)
 
-    # `done` must be derived from the data so its varying-axes type matches
-    # the loop output under shard_map (always False here).
-    rank, _, _ = lax.while_loop(cond, round_body,
-                                (rank, jnp.int32(1), rank[0] < 0))
+    # `done` is data-derived so its varying-axes type matches the loop
+    # output under shard_map; the depth-8 bootstrap may already be fully
+    # ranked.
+    rank, _, _ = lax.while_loop(
+        cond, round_body,
+        (rank, jnp.int32(8), rank_sorted[-1] == n - 1))
     # one extra re-rank in case the initial byte ranks were already distinct
     # is unnecessary: while_loop ran at least once unless n tiny
     sa = jnp.zeros(n, dtype=jnp.int32).at[rank].set(idx)

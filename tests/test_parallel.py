@@ -47,6 +47,25 @@ def test_sharded_transform_matches_single_device(rng, sorter):
             hist[i], np.bincount(blocks[i], minlength=256))
 
 
+def test_sharded_transform_large_shard_pallas_hist(rng):
+    """Shards >= the Pallas histogram tile take the kernel path."""
+    from libbsc_tpu.ops.pallas_kernels import _HIST_TILE
+
+    mesh = make_mesh(2, dp=1, sp=2)
+    b, n = 1, 2 * _HIST_TILE
+    blocks = _blocks(rng, b, n)
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("dp", "sp"))
+    dev_blocks = jax.device_put(jnp.asarray(blocks), sharding)
+    step = make_transform_step(mesh, sorter="st", k=4)
+    out, idx, hist = step(dev_blocks)
+    ref_out, ref_idx = st_encode(jnp.asarray(blocks[0]), 4)
+    np.testing.assert_array_equal(np.asarray(out)[0], np.asarray(ref_out))
+    assert int(idx[0]) == int(ref_idx)
+    np.testing.assert_array_equal(
+        np.asarray(hist)[0], np.bincount(blocks[0], minlength=256))
+
+
 def test_mesh_shapes():
     assert make_mesh(8).shape == {"dp": 4, "sp": 2}
     assert make_mesh(8, dp=8).shape == {"dp": 8, "sp": 1}
