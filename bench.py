@@ -124,7 +124,10 @@ def main() -> None:
 
     t0 = time.time()
     if have_device and len(blocks) > 1:
-        feats = [features | C.FEATURE_CUDA, features | C.FEATURE_CUDA, features]
+        # 3 device workers keep transfers/compute of different blocks in
+        # flight; 1 native worker keeps the CPU sorter busy (A/B-measured)
+        dev = features | C.FEATURE_CUDA
+        feats = [dev, dev, dev, features]
     else:
         feats = [features | (C.FEATURE_CUDA if have_device else 0)]
     with ThreadPoolExecutor(max_workers=len(feats)) as ex:
