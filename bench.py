@@ -135,9 +135,11 @@ def main() -> None:
     payloads = [payloads[i] for i in range(len(blocks))]
     dt = time.time() - t0
 
-    # verify round-trip before reporting
+    # verify round-trip before reporting (also timed: decode side metric)
     total_out = sum(len(p) for p in payloads)
+    t1 = time.time()
     restored = b"".join(B.decompress(p) for p in payloads)
+    decode_dt = time.time() - t1
     assert restored == data, "round-trip mismatch"
 
     value = n / 1e6 / dt
@@ -153,6 +155,8 @@ def main() -> None:
             "compressed_bytes": total_out,
             "ratio": round(n / total_out, 2),
             "baseline_mbs": BASELINE_MBS,
+            "decode_mbs": round(n / 1e6 / decode_dt, 2),
+            "baseline_decode_mbs": 27.24,
         },
     }))
 
