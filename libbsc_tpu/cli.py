@@ -45,6 +45,7 @@ class Params:
     lzp_hash_size = 15
     lzp_min_len = 128
     gpu = False  # -G: device (TPU) sort, like the reference's CUDA flag
+    largepages = False  # -P parity; numpy manages host memory
 
     def features(self):
         f = C.FEATURE_NONE
@@ -241,9 +242,13 @@ Switches:
   -p       Disable all preprocessing techniques
   -s       Enable segmentation
   -r       Enable record reordering
+  -l       Enable LZP preprocessing (default: enabled; use after -p)
   -t       Disable parallel blocks processing
   -T       Disable multi-core systems support
   -G       Enable accelerator (TPU) block sorting
+  -P       Enable large RAM pages (accepted for parity)
+
+Options may be combined into one, like -b128p -m5e1
 """
 
 
@@ -252,54 +257,83 @@ def parse_args(argv):
         print(USAGE)
         sys.exit(0)
     p = Params()
+
+    def bad(a):
+        print(f"Unknown option: {a}", file=sys.stderr)
+        sys.exit(1)
+
     for a in argv[4:]:
-        if not a.startswith("-"):
-            print(f"Unknown option: {a}", file=sys.stderr)
-            sys.exit(1)
+        if not a.startswith("-") or len(a) < 2:
+            bad(a)
+        # switches combine into one argument, e.g. -b128p -m5e1 (bsc.cpp:868)
         body = a[1:]
-        if body.startswith("b"):
-            p.block_size = int(body[1:]) * 1024 * 1024
-        elif body.startswith("m"):
-            v = int(body[1:])
-            p.block_sorter = C.BLOCKSORTER_BWT if v == 0 else v
-        elif body.startswith("e"):
-            v = int(body[1:])
-            p.coder = {0: C.CODER_QLFC_FAST, 1: C.CODER_QLFC_STATIC, 2: C.CODER_QLFC_ADAPTIVE}[v]
-        elif body.startswith("H"):
-            v = int(body[1:])
-            if v == 0:
+        i = 0
+        while i < len(body):
+            ch = body[i]
+            i += 1
+            if ch in "bmeHM":  # numeric-valued switches
+                j = i
+                while j < len(body) and body[j].isdigit():
+                    j += 1
+                if j == i:
+                    bad(a)
+                v = int(body[i:j])
+                i = j
+                if ch == "b":
+                    if not 1 <= v <= 2047:
+                        bad(a)
+                    p.block_size = v * 1024 * 1024
+                elif ch == "m":
+                    if v != 0 and not 3 <= v <= 8:
+                        bad(a)
+                    p.block_sorter = C.BLOCKSORTER_BWT if v == 0 else v
+                elif ch == "e":
+                    coders = {0: C.CODER_QLFC_FAST, 1: C.CODER_QLFC_STATIC,
+                              2: C.CODER_QLFC_ADAPTIVE}
+                    if v not in coders:
+                        bad(a)
+                    p.coder = coders[v]
+                elif ch == "H":
+                    if not 10 <= v <= 28:
+                        bad(a)
+                    p.lzp_hash_size = v
+                elif ch == "M":
+                    if not 4 <= v <= 255:
+                        bad(a)
+                    p.lzp_min_len = v
+            elif ch == "c":
+                ctx = body[i:i + 1]
+                i += 1
+                try:
+                    p.sorting_contexts = {"f": C.CONTEXTS_FOLLOWING,
+                                          "p": C.CONTEXTS_PRECEDING,
+                                          "a": C.CONTEXTS_AUTODETECT}[ctx]
+                except KeyError:
+                    bad(a)
+            elif ch == "p":
                 p.lzp = False
+                p.segmentation = False
+                p.reordering = False
+                p.sorting_contexts = C.CONTEXTS_FOLLOWING
+            elif ch == "s":
+                p.segmentation = True
+            elif ch == "r":
+                p.reordering = True
+            elif ch == "l":
+                p.lzp = True
+            elif ch == "t":
+                p.parallel = False
+            elif ch == "T":
+                p.parallel = False
+                p.multithreading = False
+            elif ch == "G":
+                p.gpu = True  # device sort: TPU here (reference: CUDA)
+            elif ch == "P":
+                p.largepages = True  # accepted for parity (host mem is numpy)
+            elif ch == "f":
+                p.fastmode = True
             else:
-                p.lzp_hash_size = v
-        elif body.startswith("M"):
-            v = int(body[1:])
-            if v == 0:
-                p.lzp = False
-            else:
-                p.lzp_min_len = v
-        elif body.startswith("c"):
-            p.sorting_contexts = {"f": C.CONTEXTS_FOLLOWING, "p": C.CONTEXTS_PRECEDING, "a": C.CONTEXTS_AUTODETECT}[body[1:] or "f"]
-        elif body == "p":
-            p.lzp = False
-            p.segmentation = False
-            p.reordering = False
-            p.sorting_contexts = C.CONTEXTS_FOLLOWING
-        elif body == "s":
-            p.segmentation = True
-        elif body == "r":
-            p.reordering = True
-        elif body == "t":
-            p.parallel = False
-        elif body == "T":
-            p.parallel = False
-            p.multithreading = False
-        elif body.startswith("G"):
-            p.gpu = True  # device sort: TPU here (reference: CUDA)
-        elif body == "f":
-            p.fastmode = True
-        else:
-            print(f"Unknown option: {a}", file=sys.stderr)
-            sys.exit(1)
+                bad(a)
     return p
 
 
