@@ -10,8 +10,9 @@ import numpy as np
 
 
 def bwt_encode(data: np.ndarray):
-    import jax.numpy as jnp
+    from . import ensure_jax
 
+    jnp = ensure_jax().numpy
     from ..ops.bwt import bwt_encode as _enc
 
     n = len(data)
@@ -24,8 +25,9 @@ def bwt_encode(data: np.ndarray):
 
 
 def bwt_decode(data: np.ndarray, index: int, num_indexes: int, indexes):
-    import jax.numpy as jnp
+    from . import ensure_jax
 
+    jnp = ensure_jax().numpy
     from ..ops.bwt import bwt_decode as _dec
 
     n = len(data)

@@ -158,7 +158,7 @@ def lzp_compress(data: np.ndarray, hash_size: int, min_len: int):
         r = lzp_encode_block(raw, hash_size, min_len)
         if r is None:
             return None
-        return np.frombuffer(bytes([1]) + r, dtype=np.uint8)
+        return np.frombuffer(bytes([1]) + r, dtype=np.uint8).copy()
 
     chunk = n // n_blocks
     out = bytearray([n_blocks])
@@ -179,7 +179,7 @@ def lzp_compress(data: np.ndarray, hash_size: int, min_len: int):
         out += int(size).to_bytes(4, "little") + int(packed).to_bytes(4, "little")
     for p in payloads:
         out += p
-    return np.frombuffer(bytes(out), dtype=np.uint8)
+    return np.frombuffer(bytes(out), dtype=np.uint8).copy()
 
 
 def lzp_decompress(data: np.ndarray, hash_size: int, min_len: int):
@@ -187,7 +187,7 @@ def lzp_decompress(data: np.ndarray, hash_size: int, min_len: int):
     n_blocks = raw[0]
     if n_blocks == 1:
         return np.frombuffer(lzp_decode_block(raw[1:], hash_size, min_len),
-                             dtype=np.uint8)
+                             dtype=np.uint8).copy()
     ip = 1 + 8 * n_blocks
     out = bytearray()
     for b in range(n_blocks):
@@ -199,4 +199,4 @@ def lzp_decompress(data: np.ndarray, hash_size: int, min_len: int):
             out += lzp_decode_block(seg, hash_size, min_len)
         else:
             out += seg
-    return np.frombuffer(bytes(out), dtype=np.uint8)
+    return np.frombuffer(bytes(out), dtype=np.uint8).copy()

@@ -883,7 +883,7 @@ def coder_compress(data: np.ndarray, kind: int):
         r = _qlfc_encode_block(raw, n - 1, kind)
         if r is None:
             return None
-        return np.frombuffer(bytes([1]) + r, dtype=np.uint8)
+        return np.frombuffer(bytes([1]) + r, dtype=np.uint8).copy()
 
     starts, sizes = _split_blocks(raw, n_blocks)
     payloads = []
@@ -903,14 +903,14 @@ def coder_compress(data: np.ndarray, kind: int):
         out += int(len(payloads[b])).to_bytes(4, "little")
     for p in payloads:
         out += p
-    return np.frombuffer(bytes(out), dtype=np.uint8)
+    return np.frombuffer(bytes(out), dtype=np.uint8).copy()
 
 
 def coder_decompress(data: np.ndarray, kind: int):
     raw = data.tobytes()
     n_blocks = raw[0]
     if n_blocks == 1:
-        return np.frombuffer(_qlfc_decode_block(raw[1:], kind), dtype=np.uint8)
+        return np.frombuffer(_qlfc_decode_block(raw[1:], kind), dtype=np.uint8).copy()
     ip = 1 + 8 * n_blocks
     out = bytearray()
     for b in range(n_blocks):
@@ -922,4 +922,4 @@ def coder_decompress(data: np.ndarray, kind: int):
             out += _qlfc_decode_block(seg, kind)
         else:
             out += seg
-    return np.frombuffer(bytes(out), dtype=np.uint8)
+    return np.frombuffer(bytes(out), dtype=np.uint8).copy()

@@ -14,8 +14,9 @@ import numpy as np
 
 
 def st_encode(data: np.ndarray, k: int) -> int:
-    import jax.numpy as jnp
+    from . import ensure_jax
 
+    jnp = ensure_jax().numpy
     from ..ops.st import st_encode as _enc
 
     n = len(data)
