@@ -32,6 +32,11 @@ using i32 = int32_t;
 
 namespace sais {
 
+#ifndef TBSC_SAIS_PREFETCH
+#define TBSC_SAIS_PREFETCH 48
+#endif
+constexpr i32 PF = TBSC_SAIS_PREFETCH;
+
 // s: sequence of n symbols in [0, K); SA: output of length n.
 //
 // Hot-path layout: each level builds a fused array v[i] = 2*s[i] + t[i]
@@ -57,8 +62,8 @@ static void induce(const VT* v, i32* SA, const i32* cnt2, i32* bkt2,
   // written before the scan reaches it, so prefetching a lookahead slot's
   // target hides most of the miss.
   for (i32 i = 0; i < n; ++i) {
-    if (i + 24 < n) {
-      i32 jp = SA[i + 24];
+    if (i + PF < n) {
+      i32 jp = SA[i + PF];
       if (jp > 0) __builtin_prefetch(&v[jp - 1]);
     }
     i32 j = SA[i];
@@ -73,8 +78,8 @@ static void induce(const VT* v, i32* SA, const i32* cnt2, i32* bkt2,
     for (i32 c = 0; c < 2 * K; ++c) { sum += cnt2[c]; bkt2[c] = sum; }
   }
   for (i32 i = n - 1; i >= 0; --i) {
-    if (i - 24 >= 0) {
-      i32 jp = SA[i - 24];
+    if (i - PF >= 0) {
+      i32 jp = SA[i - PF];
       if (jp > 0) __builtin_prefetch(&v[jp - 1]);
     }
     i32 j = SA[i];
