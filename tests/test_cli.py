@@ -88,3 +88,29 @@ def test_cli_empty_file(tmp_path):
     assert run_cli(["e", str(inp), str(arch)]).returncode == 0
     assert run_cli(["d", str(arch), str(out)]).returncode == 0
     assert out.read_bytes() == b""
+
+
+def test_parse_combined_switches():
+    from libbsc_tpu import cli, constants as C
+
+    p = cli.parse_args(["x", "e", "a", "b", "-b128p", "-m5e1"])
+    assert p.block_size == 128 * 1024 * 1024
+    assert p.lzp is False and p.segmentation is False
+    assert p.block_sorter == C.BLOCKSORTER_ST5
+    assert p.coder == C.CODER_QLFC_STATIC
+
+    p = cli.parse_args(["x", "e", "a", "b", "-pl", "-cpGT"])
+    assert p.lzp is True  # -l re-enables after -p
+    assert p.sorting_contexts == C.CONTEXTS_PRECEDING
+    assert p.gpu is True
+    assert p.multithreading is False
+
+
+def test_parse_rejects_bad_options():
+    import pytest as _pytest
+
+    from libbsc_tpu import cli
+
+    for bad in (["-H5"], ["-M2"], ["-m9"], ["-e7"], ["-q"], ["-b0"], ["-cz"]):
+        with _pytest.raises(SystemExit):
+            cli.parse_args(["x", "e", "a", "b"] + bad)
