@@ -25,10 +25,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Reference bsc (make CC=g++, default LZP+BWT+QLFC-static, -b16) on this
-# exact corpus and machine class: 11.27 MB/s encode, 27.24 MB/s decode,
-# 9,902,834 bytes (measured 2026-08-16; see BASELINE.md).
-BASELINE_MBS = float(os.environ.get("TBSC_BASELINE_MBS", "11.27"))
+# Reference bsc (make CC=g++) at its DEFAULT config (-b25, LZP+BWT+QLFC-
+# static) on this exact corpus and machine class: 14.13 MB/s encode,
+# 23.10 MB/s decode, 9,836,502 bytes (re-measured cleanly 2026-08-16 —
+# an earlier 11.27 at -b16 was contaminated by background load; see
+# BASELINE.md).
+BASELINE_MBS = float(os.environ.get("TBSC_BASELINE_MBS", "14.13"))
 CORPUS_MB = int(os.environ.get("TBSC_BENCH_MB", "64"))
 # 8 MB blocks balance the device/native workers best on one chip + one core
 # (measured: 16.3 MB/s vs 10.9 at 16 MB); costs ~2% compressed size vs bsc.
@@ -156,7 +158,7 @@ def main() -> None:
             "ratio": round(n / total_out, 2),
             "baseline_mbs": BASELINE_MBS,
             "decode_mbs": round(n / 1e6 / decode_dt, 2),
-            "baseline_decode_mbs": 27.24,
+            "baseline_decode_mbs": 23.10,
         },
     }))
 
