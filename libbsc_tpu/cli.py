@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import struct
 import sys
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -152,17 +153,65 @@ def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
             rs, ctx, blob = _compress_one(p, data)
             return offset, rs, ctx, blob
 
-        workers = (os.cpu_count() or 1) if p.parallel else 1
         done = 0
-        with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
-            for offset, rs, ctx, blob in ex.map(job, read_blocks()):
+        write_lock = threading.Lock()
+
+        def emit(offset, rs, ctx, blob):
+            nonlocal out_size, done
+            with write_lock:  # the reference's critical(output): blocks may
+                # finish out of order — each carries its absolute offset
                 if not quiet and in_size > 0:
                     print(f"\rCompressing {inp}({100 * done // max(in_size, 1):02d}%)",
                           end="", flush=True)
                 out.write(struct.pack(BLOCK_HEADER_FMT, offset, rs, ctx))
                 out.write(blob)
                 out_size += BLOCK_HEADER_SIZE + len(blob)
-                done = offset
+                done = max(done, offset)
+
+        if p.gpu and p.parallel:
+            # heterogeneous farm: device-sort workers + a native worker pull
+            # from one bounded queue (host coder overlaps device transfers)
+            import queue as _queue
+
+            jobs: "_queue.Queue" = _queue.Queue(maxsize=8)
+            SENTINEL = object()
+            feats = [p.features() for _ in range(3)] + [p.features() & ~C.FEATURE_CUDA]
+            errors = []
+
+            def worker(feat):
+                q = Params.__new__(Params)
+                q.__dict__.update(p.__dict__)
+                q.gpu = bool(feat & C.FEATURE_CUDA)
+                while True:
+                    item = jobs.get()
+                    if item is SENTINEL:
+                        jobs.put(SENTINEL)
+                        return
+                    offset, data = item
+                    try:
+                        rs, ctx, blob = _compress_one(q, data)
+                        emit(offset, rs, ctx, blob)
+                    except BaseException as e:  # propagate to main thread
+                        errors.append(e)
+                        return
+
+            with ThreadPoolExecutor(max_workers=len(feats)) as ex:
+                futs = [ex.submit(worker, f) for f in feats]
+                for offset, data in read_blocks():
+                    if errors:
+                        break
+                    jobs.put((offset, data))
+                jobs.put(SENTINEL)
+                for f in futs:
+                    f.result()
+            if errors:
+                raise errors[0]
+        else:
+            workers = (os.cpu_count() or 1) if p.parallel else 1
+
+            with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
+                for offset, rs, ctx, blob in ex.map(job, read_blocks()):
+                    emit(offset, rs, ctx, blob)
         if not quiet:
             print("\r", end="")
 

@@ -16,10 +16,19 @@ import numpy as np
 
 from . import constants as C
 
+import threading
+
 _native = None
 _num_threads = 1
 _force = os.environ.get("TBSC_ENGINE", "").lower() or None
 _device = None  # non-CPU JAX device, probed lazily when requested
+
+# First call per (bucket, k) compiles (60-200 s over a remote-compile
+# tunnel); serialize it so concurrent farm workers don't compile the same
+# program twice.  Warm calls bypass the lock.
+_compiled: set = set()
+_compile_lock = threading.Lock()
+_bucket_locks: dict = {}
 
 # Blocks below this size are not worth the host<->device round trip.
 _DEVICE_MIN_BLOCK = 1 << 20
@@ -195,6 +204,18 @@ def st_encode(data: np.ndarray, k: int, features: int):
             n_pad = device_bucket(n)
             padded = np.zeros(n_pad, dtype=np.uint8)
             padded[:n] = data
+
+            key = (n_pad, k)
+            if key not in _compiled:
+                with _compile_lock:
+                    gate = _bucket_locks.setdefault(key, threading.Lock())
+                with gate:
+                    if key not in _compiled:
+                        out, idx = _dev_st(jnp.asarray(padded), n, k)
+                        out = np.asarray(out)
+                        _compiled.add(key)
+                        data[:] = out[:n]
+                        return int(idx)
             out, idx = _dev_st(jnp.asarray(padded), n, k)
             out = np.asarray(out)  # blocks this thread; GIL released in D2H
             data[:] = out[:n]
