@@ -114,3 +114,26 @@ def test_parse_rejects_bad_options():
     for bad in (["-H5"], ["-M2"], ["-m9"], ["-e7"], ["-q"], ["-b0"], ["-cz"]):
         with _pytest.raises(SystemExit):
             cli.parse_args(["x", "e", "a", "b"] + bad)
+
+
+def test_cli_farm_path_roundtrip(tmp_path, rng):
+    """-G engages the heterogeneous farm; without a device the workers fall
+    back to the native sorter, but the queue/sentinel/out-of-order-write
+    machinery is fully exercised."""
+    from libbsc_tpu import cli
+
+    data = make_corpus(rng, 3 * 1024 * 1024 + 777, "text")
+    inp = tmp_path / "in.bin"
+    arch = tmp_path / "a.bsc"
+    restored = tmp_path / "r.bin"
+    inp.write_bytes(data)
+
+    p = cli.Params()
+    p.gpu = True
+    p.block_size = 1024 * 1024
+    p.block_sorter = 8
+    cli.compress_file(str(inp), str(arch), p, quiet=True)
+
+    q = cli.Params()
+    cli.decompress_file(str(arch), str(restored), q, quiet=True)
+    assert restored.read_bytes() == data
