@@ -120,8 +120,23 @@ def compress(
 
     buf = np.frombuffer(data, dtype=np.uint8)
 
-    # LZP preprocessing
+    # LZP preprocessing.  Under FASTMODE, large blocks first probe three
+    # sample windows: when none of them compresses at all, the full
+    # attempt is certain to hit the NOT_COMPRESSIBLE path anyway
+    # (lzp.cpp:146), so skip it.  The produced archive stays a valid bsc
+    # stream either way — only the mode word records whether LZP ran.
     lzp_enabled = mode != (mode & 0xFF)
+    if lzp_enabled and (features & C.FEATURE_FASTMODE) and n >= 4 * 1024 * 1024:
+        win = 512 * 1024
+        saved = 0
+        for off in (0, (n - win) // 2, n - win):
+            s = engine.lzp_compress(buf[off:off + win].copy(),
+                                    lzp_hash_size, lzp_min_len, features)
+            if s is not None:
+                saved += win - len(s)
+        if saved <= 0:
+            lzp_enabled = False
+            mode &= 0xFF
     if lzp_enabled:
         with stage("lzp_compress", n):
             lz = engine.lzp_compress(buf, lzp_hash_size, lzp_min_len, features)
