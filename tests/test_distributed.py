@@ -46,3 +46,39 @@ def test_stripe_filter_covers_all_blocks():
         for pid in range(nproc):
             seen |= {i for i in range(17) if i % nproc == pid}
         assert seen == set(range(17))
+
+
+def test_two_process_striped_farm(rng, tmp_path):
+    """Two real processes with a jax.distributed coordinator stripe one
+    file; the regular CLI decodes the merged archive."""
+    import subprocess
+    import sys
+
+    data = make_corpus(rng, 2 * 1024 * 1024 + 99, "text")
+    inp = tmp_path / "in.bin"
+    arch = tmp_path / "out.bsc"
+    inp.write_bytes(data)
+
+    script = (
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.path.insert(0, {str(tmp_path.parent.parent)!r})\n"
+        "sys.path.insert(0, '.')\n"
+        "from libbsc_tpu.parallel import distributed as dist\n"
+        "pid = int(sys.argv[1])\n"
+        "dist.init(coordinator='localhost:9917', num_processes=2, process_id=pid)\n"
+        f"dist.compress_file({str(inp)!r}, {str(arch)!r}, block_size=512 * 1024)\n"
+    )
+    import os as _os
+
+    env = dict(_os.environ)
+    env["PYTHONPATH"] = _os.getcwd()
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)], env=env)
+             for i in range(2)]
+    for p in procs:
+        assert p.wait(timeout=240) == 0
+
+    restored = tmp_path / "restored.bin"
+    cli.decompress_file(str(arch), str(restored), cli.Params(), quiet=True)
+    assert restored.read_bytes() == data
