@@ -91,3 +91,22 @@ def test_no_lzp_blocks_bit_identical_to_reference(oracle, rng):
         )
         assert orc == len(blk)
         assert oblk[:orc].tobytes() == blk
+
+
+def test_compressed_size_parity_with_reference(oracle, rng):
+    """With LZP on (encoder-policy latitude), our block size must stay
+    within 0.5% of the reference's — guards against ratio regressions."""
+    for kind, coder in [("text", C.CODER_QLFC_STATIC),
+                        ("text", C.CODER_QLFC_ADAPTIVE),
+                        ("periodic", C.CODER_QLFC_STATIC)]:
+        data = make_corpus(rng, 400000, kind)
+        n = len(data)
+        blk = api.compress(data, coder=coder)
+        inp = np.frombuffer(data, dtype=np.uint8)
+        oblk = np.zeros(n + C.HEADER_SIZE, dtype=np.uint8)
+        orc = oracle.o_compress(
+            inp.ctypes.data_as(u8p), oblk.ctypes.data_as(u8p), n,
+            C.DEFAULT_LZPHASHSIZE, C.DEFAULT_LZPMINLEN, 1, coder, 0
+        )
+        assert orc > 0
+        assert len(blk) <= orc * 1.005, (kind, coder, len(blk), orc)
