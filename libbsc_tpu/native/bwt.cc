@@ -130,6 +130,7 @@ static void sais_rec(const CharT* s, i32* SA, i32 n, i32 K, void* vbuf,
 
   i32 name = 0, prev = -1;
   for (i32 i = 0; i < n_lms; ++i) {
+    if (i + 4 < n_lms) __builtin_prefetch(&v[SA[i + 4]]);  // next substrings
     i32 pos = SA[i];
     bool diff = false;
     if (prev < 0) diff = true;
@@ -161,7 +162,10 @@ static void sais_rec(const CharT* s, i32* SA, i32 n, i32 K, void* vbuf,
     k = 0;
     for (i32 i = 1; i < n; ++i)
       if (is_lms(v, i)) lms_pos[k++] = i;
-    for (i32 i = 0; i < n_lms; ++i) SA[i] = lms_pos[SA[i]];
+    for (i32 i = 0; i < n_lms; ++i) {
+      if (i + 16 < n_lms) __builtin_prefetch(&lms_pos[SA[i + 16]]);
+      SA[i] = lms_pos[SA[i]];
+    }
   }
   // else: SA[0..n_lms) already holds LMS suffixes in sorted order.
   // (v is intact — the recursion used vbuf + n.)
