@@ -120,13 +120,15 @@ def compress(
 
     buf = np.frombuffer(data, dtype=np.uint8)
 
-    # LZP preprocessing.  Under FASTMODE, large blocks first probe three
-    # sample windows: when none of them compresses at all, the full
-    # attempt is certain to hit the NOT_COMPRESSIBLE path anyway
-    # (lzp.cpp:146), so skip it.  The produced archive stays a valid bsc
-    # stream either way — only the mode word records whether LZP ran.
+    # LZP preprocessing.  With TBSC_LZP_PROBE=1 (explicit opt-in; NOT implied
+    # by FASTMODE — window probes can miss long-range redundancy and silently
+    # cost ratio, which the reference never risks), large blocks first probe
+    # three sample windows and skip LZP only when none of them compresses at
+    # all.  The produced archive stays a valid bsc stream either way — only
+    # the mode word records whether LZP ran.
     lzp_enabled = mode != (mode & 0xFF)
-    if lzp_enabled and (features & C.FEATURE_FASTMODE) and n >= 4 * 1024 * 1024:
+    if (lzp_enabled and os.environ.get("TBSC_LZP_PROBE") == "1"
+            and n >= 4 * 1024 * 1024):
         win = 512 * 1024
         saved = 0
         for off in (0, (n - win) // 2, n - win):

@@ -117,28 +117,39 @@ def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
 
         def read_blocks():
             if p.segmentation:
+                # Mirrors bsc.cpp:234-277: detect_segments on a full block,
+                # emit cached segments one by one; the LAST cached segment is
+                # topped up with fresh data and re-segmented (so a segment
+                # boundary can move once more data is visible).  Every byte
+                # read is eventually yielded — nothing is dropped.
                 from .filters import detectors
                 import numpy as np
 
                 pending = b""
+                seg_queue: list = []
                 offset = 0
+                at_eof = False
                 while True:
-                    chunk = f.read(block_size - len(pending))
-                    data = pending + chunk
-                    if not data:
-                        break
-                    segs = detectors.detect_segments(
-                        np.frombuffer(data, dtype=np.uint8)
-                    )
-                    for size in segs[:-1]:
-                        yield offset, data[:size]
+                    if len(seg_queue) > 1:
+                        size = seg_queue.pop(0)
+                        yield offset, pending[:size]
                         offset += size
-                        data = data[size:]
-                    if len(chunk) == 0 and data:
-                        yield offset, data
-                        offset += len(data)
+                        pending = pending[size:]
+                        continue
+                    if not at_eof and len(pending) < block_size:
+                        chunk = f.read(block_size - len(pending))
+                        if not chunk:
+                            at_eof = True
+                        pending += chunk
+                    if not pending:
                         break
-                    pending = data
+                    if not (len(seg_queue) == 1 and seg_queue[0] == len(pending)):
+                        seg_queue = list(detectors.detect_segments(
+                            np.frombuffer(pending, dtype=np.uint8)))
+                    size = min(seg_queue.pop(0), len(pending))
+                    yield offset, pending[:size]
+                    offset += size
+                    pending = pending[size:]
             else:
                 offset = 0
                 while True:
@@ -193,6 +204,17 @@ def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
                         emit(offset, rs, ctx, blob)
                     except BaseException as e:  # propagate to main thread
                         errors.append(e)
+                        # Drain so a blocked producer always unblocks even if
+                        # every worker dies (the producer re-checks `errors`
+                        # between timed puts).
+                        try:
+                            while True:
+                                it = jobs.get_nowait()
+                                if it is SENTINEL:
+                                    jobs.put(SENTINEL)
+                                    break
+                        except _queue.Empty:
+                            pass
                         return
 
             with ThreadPoolExecutor(max_workers=len(feats)) as ex:
@@ -200,7 +222,12 @@ def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
                 for offset, data in read_blocks():
                     if errors:
                         break
-                    jobs.put((offset, data))
+                    while not errors:
+                        try:
+                            jobs.put((offset, data), timeout=0.2)
+                            break
+                        except _queue.Full:
+                            continue
                 jobs.put(SENTINEL)
                 for f in futs:
                     f.result()
@@ -234,12 +261,21 @@ def decompress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None
         (n_blocks,) = struct.unpack("<i", f.read(4))
 
         def read_jobs():
-            for _ in range(n_blocks):
+            # Reads until EOF like the reference (bsc.cpp:507-520): nBlocks is
+            # advisory (segmentation may change the actual block count).
+            while True:
                 bh = f.read(BLOCK_HEADER_SIZE)
+                if len(bh) == 0:
+                    break
                 if len(bh) < BLOCK_HEADER_SIZE:
                     print("Unexpected end of file!", file=sys.stderr)
                     sys.exit(1)
                 offset, rs, ctx = struct.unpack(BLOCK_HEADER_FMT, bh)
+                if rs < 1 or ctx not in (C.CONTEXTS_FOLLOWING,
+                                         C.CONTEXTS_PRECEDING):
+                    print("This is not bsc archive or invalid compression "
+                          "method!", file=sys.stderr)
+                    sys.exit(2)
                 header = f.read(C.HEADER_SIZE)
                 block_size, data_size = api.block_info(header)
                 payload = f.read(block_size - C.HEADER_SIZE)

@@ -151,11 +151,18 @@ def bwt_encode(data: np.ndarray, features: int):
             from .ops.bwt import bwt_encode as _dev_bwt
 
             U, primary, aux = _dev_bwt(jnp.asarray(data))
-            data[:] = np.asarray(U)
+            # Materialize EVERY device result into host temporaries before
+            # mutating `data`: if any transfer fails mid-way, the except
+            # branch must see the original bytes or the host fallback would
+            # re-transform already-transformed data.
+            U_host = np.asarray(U)
             aux = np.asarray(aux, dtype=np.int32)
-            return int(primary), int(aux.shape[0]), aux
+            primary = int(primary)
         except Exception:
             pass
+        else:
+            data[:] = U_host
+            return primary, int(aux.shape[0]), aux
     lib = _lib()
     if lib is not None:
         from .native import _u8p, _i32p
@@ -212,16 +219,18 @@ def st_encode(data: np.ndarray, k: int, features: int):
                 with gate:
                     if key not in _compiled:
                         out, idx = _dev_st(jnp.asarray(padded), n, k)
-                        out = np.asarray(out)
+                        out, idx = np.asarray(out), int(idx)
                         _compiled.add(key)
                         data[:] = out[:n]
-                        return int(idx)
+                        return idx
             out, idx = _dev_st(jnp.asarray(padded), n, k)
-            out = np.asarray(out)  # blocks this thread; GIL released in D2H
-            data[:] = out[:n]
-            return int(idx)
+            # materialize both results before mutating `data` (see bwt_encode)
+            out, idx = np.asarray(out), int(idx)
         except Exception:
             pass  # silent host fallback, like the reference GPU path
+        else:
+            data[:] = out[:n]
+            return idx
     lib = _lib()
     if lib is not None:
         from .native import _u8p

@@ -52,6 +52,13 @@ def _part_path(outp: str, pid: int) -> str:
     return f"{outp}.part{pid}"
 
 
+def _barrier(tag: str) -> None:
+    if _num_processes > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def compress_file(inp: str, outp: str, block_size: int = 25 * 1024 * 1024,
                   block_sorter: int = C.DEFAULT_BLOCKSORTER,
                   coder: int = C.DEFAULT_CODER,
@@ -83,16 +90,26 @@ def compress_file(inp: str, outp: str, block_size: int = 25 * 1024 * 1024,
         return offset, blob
 
     part = _part_path(outp, _process_id)
+
+    # Remove stale part/marker files a previous crashed run may have left,
+    # then synchronize so no host can observe another host's stale marker.
+    for stale in (part, part + ".done"):
+        if os.path.exists(stale):
+            os.unlink(stale)
+    _barrier("tbsc-compress-start")
+
     nworkers = workers or min(4, os.cpu_count() or 1)
+    n_written = 0
     with open(part, "wb") as out:
         with ThreadPoolExecutor(max_workers=nworkers) as ex:
             for offset, blob in ex.map(encode, jobs()):
                 out.write(struct.pack(BLOCK_HEADER_FMT, offset, 1,
                                       C.CONTEXTS_FOLLOWING))
                 out.write(blob)
+                n_written += 1
     done = part + ".done"
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(str(n_written))
 
     if _process_id == 0:
         import time
@@ -105,6 +122,14 @@ def compress_file(inp: str, outp: str, block_size: int = 25 * 1024 * 1024,
             out.write(FILE_SIGN)
             out.write(struct.pack("<i", n_blocks))
             for p in range(_num_processes):
+                expected = sum(1 for i in range(n_blocks)
+                               if i % _num_processes == p)
+                with open(_part_path(outp, p) + ".done") as f:
+                    got = int(f.read().strip() or "-1")
+                if got != expected:
+                    raise api.BscError(
+                        C.DATA_CORRUPT,
+                        f"part {p} has {got} blocks, expected {expected}")
                 with open(_part_path(outp, p), "rb") as f:
                     out.write(f.read())
                 os.unlink(_part_path(outp, p))
@@ -122,11 +147,13 @@ def decompress_file(inp: str, outp: str,
             raise api.BscError(C.DATA_CORRUPT, "bad file sign")
         (n_blocks,) = struct.unpack("<i", f.read(4))
         blobs = []
+        total_size = 0
         for i in range(n_blocks):
             offset, rs, ctx = struct.unpack(BLOCK_HEADER_FMT, f.read(10))
             header = f.read(C.HEADER_SIZE)
-            block_size, _ = api.block_info(header)
+            block_size, data_size = api.block_info(header)
             payload = f.read(block_size - C.HEADER_SIZE)
+            total_size = max(total_size, offset + data_size)
             if i % _num_processes == _process_id:
                 blobs.append((offset, rs, ctx, header + payload))
 
@@ -145,11 +172,15 @@ def decompress_file(inp: str, outp: str,
             data = arr.tobytes()
         return offset, data
 
-    # ensure the file exists with full size before seek-writes
+    # Ensure the file exists and is sized exactly: a pre-existing longer file
+    # must not leave stale trailing bytes after the decoded data.  Every host
+    # computed total_size from all block headers, so truncating is safe even
+    # with concurrent multi-host stripe writes.
     if not os.path.exists(outp):
         open(outp, "wb").close()
     nworkers = workers or min(4, os.cpu_count() or 1)
     with open(outp, "r+b") as out:
+        out.truncate(total_size)
         with ThreadPoolExecutor(max_workers=nworkers) as ex:
             for offset, data in ex.map(decode, blobs):
                 out.seek(offset)

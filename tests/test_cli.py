@@ -116,6 +116,64 @@ def test_parse_rejects_bad_options():
             cli.parse_args(["x", "e", "a", "b"] + bad)
 
 
+def test_cli_segmentation_homogeneous_no_data_loss(tmp_path, rng):
+    """VERDICT round-1 repro: 3 MB homogeneous file at -b1 with -s used to
+    drop everything after the first block."""
+    data = make_corpus(rng, 3 * 1024 * 1024, "text")
+    inp = tmp_path / "in"
+    inp.write_bytes(data)
+    arch = tmp_path / "a.bsc"
+    out = tmp_path / "out"
+    assert run_cli(["e", str(inp), str(arch), "-b1s"]).returncode == 0
+    r = run_cli(["d", str(arch), str(out)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == data
+
+
+def test_cli_segmentation_heterogeneous_roundtrip(tmp_path, rng):
+    """Multi-block heterogeneous file: segmentation should split at content
+    boundaries and may change the block count vs the precomputed nBlocks —
+    decode must read blocks until EOF (bsc.cpp:507-520)."""
+    data = (make_corpus(rng, 700000, "text")
+            + make_corpus(rng, 600000, "random")
+            + make_corpus(rng, 500000, "zeros")
+            + make_corpus(rng, 700000, "text"))
+    inp = tmp_path / "in"
+    inp.write_bytes(data)
+    arch = tmp_path / "a.bsc"
+    out = tmp_path / "out"
+    assert run_cli(["e", str(inp), str(arch), "-b1s"]).returncode == 0
+    r = run_cli(["d", str(arch), str(out)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == data
+
+
+def test_cli_segmentation_reference_interop(tmp_path, rng):
+    bsc = bsc_binary()
+    if bsc is None:
+        pytest.skip("reference binary unavailable")
+    data = (make_corpus(rng, 900000, "text")
+            + make_corpus(rng, 700000, "random")
+            + make_corpus(rng, 900000, "runs"))
+    inp = tmp_path / "in"
+    inp.write_bytes(data)
+
+    mine = tmp_path / "m.bsc"
+    assert run_cli(["e", str(inp), str(mine), "-b1s"]).returncode == 0
+    ref_out = tmp_path / "ref_out"
+    r = subprocess.run([bsc, "d", str(mine), str(ref_out)], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert ref_out.read_bytes() == data
+
+    theirs = tmp_path / "r.bsc"
+    r = subprocess.run([bsc, "e", str(inp), str(theirs), "-b1s"],
+                       capture_output=True)
+    assert r.returncode == 0
+    my_out = tmp_path / "my_out"
+    assert run_cli(["d", str(theirs), str(my_out)]).returncode == 0
+    assert my_out.read_bytes() == data
+
+
 def test_cli_farm_path_roundtrip(tmp_path, rng):
     """-G engages the heterogeneous farm; without a device the workers fall
     back to the native sorter, but the queue/sentinel/out-of-order-write
