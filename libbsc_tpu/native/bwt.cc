@@ -1,7 +1,9 @@
 // Burrows-Wheeler transform, host-native path.
 //
-// Forward: SA-IS suffix-array construction (original implementation of the
-// Nong/Zhang/Chan induced-sorting algorithm), then BWT extraction in the
+// Forward: suffix-array construction by SA-IS with dense partial induced
+// sorting and in-scan LMS substring naming (the induced-sort design proven
+// out by libsais, reference libsais.c:1555-2039, 3826-3868 — reimplemented
+// from the algorithm, see tbsc_fast_sais below), then BWT extraction in the
 // reference's stream convention (verified against libsais behavior):
 //   U[0] = T[n-1]; U[1..] = T[SA[j]-1] for SA ranks j skipping suffix 0;
 //   primary index = rank(suffix 0) + 1;
@@ -10,8 +12,8 @@
 //   num_indexes = (n-1)/r.
 //
 // Inverse: counting + LF-mapping walk over the virtual-sentinel BWT matrix;
-// with aux indexes the walk splits into num_indexes+1 independent chains
-// (parallelized with OpenMP when available).
+// with aux indexes the walk splits into num_indexes+1 independent chains,
+// all interleaved in one loop for memory-level parallelism.
 
 #include <cstdint>
 #include <cstring>
@@ -26,185 +28,301 @@ namespace tbsc {
 using u8 = uint8_t;
 using i32 = int32_t;
 
-// ---------------------------------------------------------------------------
-// SA-IS
-// ---------------------------------------------------------------------------
+namespace tbsc_fast_sais {
 
-namespace sais {
+using u8 = uint8_t;
+using i32 = int32_t;
+constexpr i32 IMIN = INT32_MIN;
+constexpr i32 IMAX = INT32_MAX;
 
-#ifndef TBSC_SAIS_PREFETCH
-#define TBSC_SAIS_PREFETCH 48
-#endif
-constexpr i32 PF = TBSC_SAIS_PREFETCH;
+enum { cSS = 0, cSL = 1, cLS = 2, cLL = 3 };  // (own, pred); cSL = LMS
 
-// s: sequence of n symbols in [0, K); SA: output of length n.
-//
-// Hot-path layout: each level builds a fused array v[i] = 2*s[i] + t[i]
-// (t = 1 for S-type) so the induce loops issue ONE random load per step
-// instead of two, and the (char, type) sub-bucket boundaries come from a
-// single 2K-wide histogram (L sub-bucket of char c = value 2c, S = 2c+1).
+// Shared scratch across all levels.
+//   lms_stack: bump arena holding each live level's text-order LMS list
+//              (sum over levels <= n ints)
+//   scratch:   n/2+2 ints, reused per level (names by position / staging)
+struct Scratch {
+  i32* lms_stack;
+  size_t lms_used;
+  i32* scratch;
+  bool oom;
+};
 
-template <typename VT>
-static inline bool is_lms(const VT* v, i32 i) {
-  return i > 0 && (v[i] & 1) && !(v[i - 1] & 1);
-}
-
-template <typename VT>
-static void induce(const VT* v, i32* SA, const i32* cnt2, i32* bkt2,
-                   i32 n, i32 K) {
-  // induce L-type from left to right; virtual sentinel first induces n-1
-  {
-    i32 sum = 0;
-    for (i32 c = 0; c < 2 * K; ++c) { bkt2[c] = sum; sum += cnt2[c]; }
-  }
-  SA[bkt2[v[n - 1]]++] = n - 1;  // suffix n-1 is always L-type
-  // The scan is latency-bound on v[SA[i]-1]; in the L pass every slot is
-  // written before the scan reaches it, so prefetching a lookahead slot's
-  // target hides most of the miss.
-  for (i32 i = 0; i < n; ++i) {
-    if (i + PF < n) {
-      i32 jp = SA[i + PF];
-      if (jp > 0) __builtin_prefetch(&v[jp - 1]);
-    }
-    i32 j = SA[i];
-    if (j > 0) {
-      i32 vj = v[j - 1];
-      if (!(vj & 1)) SA[bkt2[vj]++] = j - 1;
-    }
-  }
-  // induce S-type from right to left (place at S sub-bucket ends)
-  {
-    i32 sum = 0;
-    for (i32 c = 0; c < 2 * K; ++c) { sum += cnt2[c]; bkt2[c] = sum; }
-  }
-  for (i32 i = n - 1; i >= 0; --i) {
-    if (i - PF >= 0) {
-      i32 jp = SA[i - PF];
-      if (jp > 0) __builtin_prefetch(&v[jp - 1]);
-    }
-    i32 j = SA[i];
-    if (j > 0) {
-      i32 vj = v[j - 1];
-      if (vj & 1) SA[--bkt2[vj]] = j - 1;
-    }
-  }
-}
-
-// VT: fused-value type — u16 at the byte level (2*256 values, denser in
-// cache), i32 for recursion levels (names can exceed 2^15).
-template <typename CharT, typename VT>
-static void sais_rec(const CharT* s, i32* SA, i32 n, i32 K, void* vbuf,
-                     i32* cntbuf, i32* names) {
+template <typename CharT>
+static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
   if (n == 1) { SA[0] = 0; return; }
 
-  // fused (char, type) values; suffix n-1 is L-type (sentinel is smaller)
-  VT* v = (VT*)vbuf;
-  v[n - 1] = (VT)(2 * (i32)s[n - 1]);
-  for (i32 i = n - 2; i >= 0; --i) {
-    i32 tnext = v[i + 1] & 1;
-    v[i] = (VT)(2 * (i32)s[i] +
-           ((s[i] < s[i + 1] || (s[i] == s[i + 1] && tnext)) ? 1 : 0));
+  // transient per-level tables: hist4(4k) head(2k) tail(2k) lmsh(k)
+  // lsstart(k) dist(2k) total(k) bstart(k) = 14k
+  i32* tbl = new (std::nothrow) i32[(size_t)14 * k];
+  if (!tbl) { sc->oom = true; return; }
+  i32* hist4 = tbl;
+  i32* head = tbl + 4 * (size_t)k;
+  i32* tail = head + 2 * (size_t)k;
+  i32* lmsh = tail + 2 * (size_t)k;
+  i32* lsstart = lmsh + k;
+  i32* dist = lsstart + k;
+  i32* total = dist + 2 * (size_t)k;
+  i32* bstart = total + k;
+  std::memset(hist4, 0, sizeof(i32) * (size_t)4 * k);
+
+  i32* lms_text = sc->lms_stack + sc->lms_used;
+
+  // Backward pass: class histogram + LMS gather (branchless, ends ascending
+  // after the reversal).  Totals are derived from the histogram.
+  i32 m = 0;
+  {
+    u8 tnext = 1;  // t(n-1) = L under the virtual sentinel
+    i32 mt = 0;
+    for (i32 i = n - 2; i >= 0; --i) {
+      if (i >= 128) __builtin_prefetch(&T[i - 128]);
+      u8 ti = (T[i] > T[i + 1]) ? 1 : (T[i] < T[i + 1]) ? 0 : tnext;
+      u8 cls = (u8)((tnext << 1) | ti);
+      hist4[4 * (size_t)T[i + 1] + cls]++;
+      lms_text[mt] = i + 1;
+      mt += (cls == cSL);
+      tnext = ti;
+    }
+    hist4[4 * (size_t)T[0] + 2 * tnext + 0]++;  // position 0, pred classed S
+    m = mt;
+    for (i32 a = 0, b = m - 1; a < b; ++a, --b) {
+      i32 t0 = lms_text[a]; lms_text[a] = lms_text[b]; lms_text[b] = t0;
+    }
   }
+  sc->lms_used += (size_t)m;
 
-  i32* cnt2 = cntbuf;
-  i32* bkt2 = cntbuf + 2 * K;
-  std::memset(cnt2, 0, sizeof(i32) * (size_t)(2 * K));
-  for (i32 i = 0; i < n; ++i) ++cnt2[v[i]];
-
-  // Step 1: place LMS suffixes at bucket ends (in text order), induce.
-  for (i32 i = 0; i < n; ++i) SA[i] = -1;
   {
     i32 sum = 0;
-    for (i32 c = 0; c < 2 * K; ++c) { sum += cnt2[c]; bkt2[c] = sum; }
-  }
-  for (i32 i = n - 1; i > 0; --i)
-    if (is_lms(v, i)) SA[--bkt2[v[i]]] = i;
-  induce(v, SA, cnt2, bkt2, n, K);
-
-  // Step 2: compact sorted LMS suffixes, name LMS substrings.
-  i32 n_lms = 0;
-  for (i32 i = 0; i < n; ++i) {
-    i32 j = SA[i];
-    if (is_lms(v, j)) SA[n_lms++] = j;
+    for (i32 c = 0; c < k; ++c) {
+      total[c] = hist4[4 * c + 0] + hist4[4 * c + 1] + hist4[4 * c + 2] +
+                 hist4[4 * c + 3];
+      bstart[c] = sum;
+      sum += total[c];
+    }
   }
 
-  i32 name = 0, prev = -1;
-  for (i32 i = 0; i < n_lms; ++i) {
-    if (i + 4 < n_lms) __builtin_prefetch(&v[SA[i + 4]]);  // next substrings
-    i32 pos = SA[i];
-    bool diff = false;
-    if (prev < 0) diff = true;
-    else {
-      // Compare LMS substrings at pos and prev: the fused values cover
-      // chars + types; stop at the next LMS position (end is unique).
-      for (i32 d = 0;; ++d) {
-        if (pos + d == n || prev + d == n) { diff = true; break; }
-        if (v[pos + d] != v[prev + d]) { diff = true; break; }
-        if (d > 0 && (is_lms(v, pos + d) || is_lms(v, prev + d))) {
-          diff = !(is_lms(v, pos + d) && is_lms(v, prev + d));
-          break;
+  if (m > 1) {
+    const i32 f = lms_text[0];
+
+    // drop positions [0, f) from the partial-phase histogram
+    {
+      u8 tnext = 1;  // t(f-1) = L
+      for (i32 i = f - 2; i >= 0; --i) {
+        u8 ti = (T[i] > T[i + 1]) ? 1 : (T[i] < T[i + 1]) ? 0 : tnext;
+        hist4[4 * (size_t)T[i + 1] + 2 * tnext + ti]--;
+        tnext = ti;
+      }
+      hist4[4 * (size_t)T[0] + 2 * tnext + 0]--;
+    }
+
+    i32 left_total;
+    {
+      i32 off = 0;
+      for (i32 c = 0; c < k; ++c) {
+        head[2 * c + 1] = off; off += hist4[4 * c + cLL];
+        lmsh[c] = off;         off += hist4[4 * c + cSL];
+      }
+      left_total = off;
+      i32 msum = 0;
+      for (i32 c = 0; c < k; ++c) {
+        lsstart[c] = off;
+        head[2 * c + 0] = off;
+        off += hist4[4 * c + cLS] + hist4[4 * c + cSS];
+        tail[2 * c + 0] = off;
+        msum += hist4[4 * c + cSL];
+        tail[2 * c + 1] = msum;
+      }
+    }
+
+    for (i32 j = 0; j < m; ++j) {
+      i32 p = lms_text[j];
+      SA[lmsh[T[p]]++] = p;
+    }
+
+    std::memset(dist, 0, sizeof(i32) * (size_t)2 * k);
+    i32 d = 0;
+
+    {  // seed: n-1 is always L-type; marked, d -> 1
+      i32 q = n - 1;
+      i32 v = 2 * (i32)T[q] + (T[q - 1] >= T[q] ? 1 : 0);
+      SA[head[v]++] = q | IMIN;
+      dist[v] = ++d;
+    }
+
+    {  // L2R over the left region
+      constexpr i32 PF = 32;
+      for (i32 i = 0; i < left_total; ++i) {
+        if (i + PF < left_total) {
+          i32 pp = SA[i + PF] & IMAX;
+          __builtin_prefetch(&T[pp]);
+        }
+        i32 praw = SA[i];
+        d += (praw < 0);
+        i32 p = praw & IMAX;
+        if (p == f) continue;  // the first LMS has no in-region predecessor
+        i32 q = p - 1;
+        i32 v = 2 * (i32)T[q] + (T[q - 1] >= T[q] ? 1 : 0);
+        i32 mark = (dist[v] != d) ? IMIN : 0;
+        dist[v] = d;
+        SA[head[v]++] = q | mark;
+      }
+    }
+
+    // shift marks one slot down inside each filled LS block; tops marked
+    for (i32 c = k - 1; c >= 0; --c) {
+      i32 lo = lsstart[c], hi = head[2 * c + 0];
+      i32 s = IMIN;
+      for (i32 i = hi - 1; i >= lo; --i) {
+        i32 p = SA[i], q = (p & IMIN) ^ s;
+        s ^= q;
+        SA[i] = p ^ q;
+      }
+    }
+
+    {  // R2L over the right region; LMS results compact into SA[0..m)
+      constexpr i32 PF = 32;
+      const i32 rlo = left_total;
+      const i32 rhi = tail[2 * (k - 1) + 0];  // == n - f
+      for (i32 i = rhi - 1; i >= rlo; --i) {
+        if (i - PF >= rlo) {
+          i32 pp = SA[i - PF] & IMAX;
+          __builtin_prefetch(&T[pp - 2]);
+        }
+        i32 praw = SA[i];
+        d += (praw < 0);
+        i32 p = praw & IMAX;
+        i32 q = p - 1;
+        i32 v = 2 * (i32)T[q] + (T[q - 1] > T[q] ? 1 : 0);
+        i32 mark = (dist[v] != d) ? IMIN : 0;
+        dist[v] = d;
+        SA[--tail[v]] = q | mark;
+      }
+    }
+
+    // Renumber.  [0, m) was filled descending, so a mark on slot j means
+    // "differs from slot j+1"; names ascend, boundary read from slot j-1.
+    i32* name_by_pos = sc->scratch;
+    i32 names = 1;
+    {
+      i32 carry = 0;
+      for (i32 j = 0; j < m; ++j) {
+        if (j + 32 < m) __builtin_prefetch(
+            &name_by_pos[(SA[j + 32] & IMAX) >> 1], 1);
+        i32 praw = SA[j];
+        i32 p = praw & IMAX;
+        SA[j] = p;
+        names += carry;
+        name_by_pos[p >> 1] = names;
+        carry = (praw < 0);
+      }
+    }
+
+    if (names < m) {
+      delete[] tbl;  // free transient tables before recursing
+      tbl = nullptr;
+      i32* s1 = SA + n - m;
+      for (i32 j = 0; j < m; ++j) s1[j] = name_by_pos[lms_text[j] >> 1] - 1;
+      sais_dense<i32>(s1, SA, m, names, sc);
+      if (sc->oom) { sc->lms_used -= (size_t)m; return; }
+      for (i32 j = 0; j < m; ++j) {
+        if (j + 16 < m) __builtin_prefetch(&lms_text[SA[j + 16]]);
+        SA[j] = lms_text[SA[j]];
+      }
+      // rebuild the final-induce tables (freed above)
+      tbl = new (std::nothrow) i32[(size_t)4 * k];
+      if (!tbl) { sc->oom = true; sc->lms_used -= (size_t)m; return; }
+      total = tbl; bstart = tbl + k;
+      std::memset(total, 0, sizeof(i32) * (size_t)k);
+      for (i32 i = 0; i < n; ++i) total[T[i]]++;
+      i32 sum = 0;
+      for (i32 c = 0; c < k; ++c) { bstart[c] = sum; sum += total[c]; }
+    }
+  } else if (m == 1) {
+    SA[0] = lms_text[0];
+  }
+  sc->lms_used -= (size_t)m;
+
+  // ---- final induce: sign bit = "predecessor has the other type" ----
+  {
+    i32* lms_sorted = sc->scratch;
+    for (i32 j = 0; j < m; ++j) lms_sorted[j] = SA[j];
+    std::memset(SA, 0, sizeof(i32) * (size_t)n);
+    {
+      i32* btail = head;  // reuse as k-sized temp (tbl may have been rebuilt:
+      // after the names<m branch, head aliases tbl+2k which is free space)
+      btail = tbl + 2 * (size_t)k;
+      for (i32 c = 0; c < k; ++c) btail[c] = bstart[c] + total[c];
+      for (i32 j = m - 1; j >= 0; --j) {
+        i32 p = lms_sorted[j];
+        SA[--btail[T[p]]] = p;
+      }
+    }
+    {  // L2R: L suffixes; written sign = predecessor-is-S
+      i32* lhead = tbl + 2 * (size_t)k;
+      std::memcpy(lhead, bstart, sizeof(i32) * (size_t)k);
+      {
+        i32 q = n - 1;
+        SA[lhead[T[q]]++] = q | ((T[q - 1] < T[q]) ? IMIN : 0);
+      }
+      constexpr i32 PF = 32;
+      for (i32 i = 0; i < n; ++i) {
+        if (i + PF < n) {
+          i32 sp = SA[i + PF];
+          if (sp > 0) __builtin_prefetch(&T[sp - 1]);
+        }
+        i32 p = SA[i];
+        SA[i] = p ^ IMIN;
+        if (p > 0) {
+          --p;
+          SA[lhead[T[p]]++] = p | ((T[p - (p > 0)] < T[p]) ? IMIN : 0);
         }
       }
     }
-    if (diff) { ++name; prev = pos; }
-    names[pos >> 1] = name - 1;
-  }
-
-  if (name < n_lms) {
-    // Build the reduced string (LMS names in text order) in the SA tail,
-    // recurse, then map the reduced suffix array back to text positions.
-    i32* s1 = SA + n - n_lms;
-    i32 k = 0;
-    for (i32 i = 1; i < n; ++i)
-      if (is_lms(v, i)) s1[k++] = names[i >> 1];
-    sais_rec<i32, i32>(s1, SA, n_lms, name, (i32*)vbuf + n, cntbuf + 4 * K, names);
-    i32* lms_pos = s1;  // reuse tail: LMS positions in text order
-    k = 0;
-    for (i32 i = 1; i < n; ++i)
-      if (is_lms(v, i)) lms_pos[k++] = i;
-    for (i32 i = 0; i < n_lms; ++i) {
-      if (i + 16 < n_lms) __builtin_prefetch(&lms_pos[SA[i + 16]]);
-      SA[i] = lms_pos[SA[i]];
+    {  // R2L: S suffixes; written sign = predecessor-is-L
+      i32* rtail = tbl + 2 * (size_t)k;
+      for (i32 c = 0; c < k; ++c) rtail[c] = bstart[c] + total[c];
+      constexpr i32 PF = 32;
+      for (i32 i = n - 1; i >= 0; --i) {
+        if (i - PF >= 0) {
+          i32 sp = SA[i - PF];
+          if (sp > 0) __builtin_prefetch(&T[sp - 1]);
+        }
+        i32 p = SA[i];
+        SA[i] = p & IMAX;
+        if (p > 0) {
+          --p;
+          SA[--rtail[T[p]]] = p | ((T[p - (p > 0)] > T[p]) ? IMIN : 0);
+        }
+      }
     }
   }
-  // else: SA[0..n_lms) already holds LMS suffixes in sorted order.
-  // (v is intact — the recursion used vbuf + n.)
-
-  // Step 3: final induce from sorted LMS suffixes.
-  {
-    i32 sum = 0;
-    for (i32 c = 0; c < 2 * K; ++c) { sum += cnt2[c]; bkt2[c] = sum; }
-  }
-  for (i32 i = n_lms; i < n; ++i) SA[i] = -1;
-  for (i32 i = n_lms - 1; i >= 0; --i) {
-    i32 j = SA[i];
-    SA[i] = -1;
-    SA[--bkt2[v[j]]] = j;
-  }
-  induce(v, SA, cnt2, bkt2, n, K);
+  delete[] tbl;
 }
 
-}  // namespace sais
+// Entry point: suffix array of T[0..n) into SA[0..n).  Returns 0, or -2 on
+// allocation failure.
+static int suffix_array_fast(const u8* T, i32* SA, i32 n) {
+  if (n <= 0) return -1;
+  if (n == 1) { SA[0] = 0; return 0; }
+  i32* lms_stack = new (std::nothrow) i32[(size_t)n + 4];
+  i32* scratch = new (std::nothrow) i32[(size_t)(n >> 1) + 4];
+  if (!lms_stack || !scratch) {
+    delete[] lms_stack; delete[] scratch;
+    return -2;
+  }
+  Scratch sc{lms_stack, 0, scratch, false};
+  sais_dense<u8>(T, SA, n, 256, &sc);
+  delete[] lms_stack;
+  delete[] scratch;
+  return sc.oom ? -2 : 0;
+}
+
+}  // namespace tbsc_fast_sais
 
 // Computes the suffix array of T (length n) into SA.
 int suffix_array(const u8* T, i32* SA, i32 n) {
   if (n <= 0) return -1;
-  if (n == 1) { SA[0] = 0; return 0; }
-  // fused (char,type) values: u16 at the top level, i32 below; the i32
-  // recursion levels need n/2 + n/4 + ... <= n ints starting at offset n
-  i32* vbuf = new (std::nothrow) i32[(size_t)2 * n + 8];
-  // count+bucket buffers: 4*K per level, bounded by 1024 + 4n ints
-  i32* cntbuf = new (std::nothrow) i32[(size_t)4 * n + 2048];
-  i32* names = new (std::nothrow) i32[(size_t)(n >> 1) + 2];
-  if (!vbuf || !cntbuf || !names) {
-    delete[] vbuf; delete[] cntbuf; delete[] names;
-    return -2;
-  }
-  sais::sais_rec<u8, uint16_t>(T, SA, n, 256, vbuf, cntbuf, names);
-  delete[] vbuf;
-  delete[] cntbuf;
-  delete[] names;
-  return 0;
+  return tbsc_fast_sais::suffix_array_fast(T, SA, n) == 0 ? 0 : -2;
 }
 
 // Aux-index sampling rate (bwt.cpp:192-197).
@@ -237,10 +355,12 @@ int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/)
     U[w++] = T[sj - 1];
   }
   if (indexes && num_indexes) {
-    // indexes[t] = rank of suffix (t+1)*r
+    // indexes[t] = rank of suffix (t+1)*r; r is a power of two
+    const i32 mask = r - 1;
     for (int j = 0; j < n; ++j) {
       i32 sj = SA[j];
-      if (sj != 0 && sj % r == 0 && sj / r <= n_aux) indexes[sj / r - 1] = j;
+      if (sj != 0 && (sj & mask) == 0 && sj <= (i32)n_aux * r)
+        indexes[(sj >> __builtin_ctz(r)) - 1] = j;
     }
     *num_indexes = (u8)n_aux;
   } else if (num_indexes) {
