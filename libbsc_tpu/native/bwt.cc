@@ -46,7 +46,119 @@ struct Scratch {
   size_t lms_used;
   i32* scratch;
   bool oom;
+  u8* bwt;  // top level only: fused BWT extraction, bwt[slot] = T[SA[slot]-1]
 };
+
+// Final induce: sign bit = "predecessor has the other type".  With BWT set
+// (u8 top level), every write also records the preceding text byte, so the
+// caller gets the BWT without a separate n-random-read extraction pass.
+template <typename CharT, bool BWT>
+static void final_induce(const CharT* T, i32* SA, i32 n, i32 k,
+                         const i32* bstart, const i32* total, i32* tmpk,
+                         u8* bw) {
+  {  // L2R: L suffixes; written sign = predecessor-is-S
+    i32* lhead = tmpk;
+    std::memcpy(lhead, bstart, sizeof(i32) * (size_t)k);
+    {
+      i32 q = n - 1;
+      i32 s = lhead[T[q]]++;
+      SA[s] = q | ((T[q - 1] < T[q]) ? IMIN : 0);
+      if (BWT) bw[s] = (u8)T[q - 1];
+    }
+    constexpr i32 PF = 32;
+    i32 i = 0;
+    for (i32 j = n - 2 * PF - 1; i < j; i += 2) {
+      __builtin_prefetch(&SA[i + 3 * PF], 1);
+      {
+        i32 s0 = SA[i + 2 * PF + 0];
+        if (s0 > 0) { __builtin_prefetch(&T[s0 - 1]); }
+        i32 s1 = SA[i + 2 * PF + 1];
+        if (s1 > 0) { __builtin_prefetch(&T[s1 - 1]); }
+      }
+      if (sizeof(CharT) > 1) {
+        // big-alphabet levels: the bucket array itself misses — prefetch
+        // the head entries one tier behind the text prefetch
+        i32 s2 = SA[i + PF + 0];
+        if (s2 > 0) { __builtin_prefetch(&lhead[T[s2 - 1]], 1); }
+        i32 s3 = SA[i + PF + 1];
+        if (s3 > 0) { __builtin_prefetch(&lhead[T[s3 - 1]], 1); }
+      }
+      i32 p0 = SA[i + 0];
+      SA[i + 0] = p0 ^ IMIN;
+      if (p0 > 0) {
+        --p0;
+        i32 s = lhead[T[p0]]++;
+        SA[s] = p0 | ((T[p0 - (p0 > 0)] < T[p0]) ? IMIN : 0);
+        if (BWT) bw[s] = (u8)T[p0 - (p0 > 0)];
+      }
+      i32 p1 = SA[i + 1];
+      SA[i + 1] = p1 ^ IMIN;
+      if (p1 > 0) {
+        --p1;
+        i32 s = lhead[T[p1]]++;
+        SA[s] = p1 | ((T[p1 - (p1 > 0)] < T[p1]) ? IMIN : 0);
+        if (BWT) bw[s] = (u8)T[p1 - (p1 > 0)];
+      }
+    }
+    for (; i < n; ++i) {
+      i32 p = SA[i];
+      SA[i] = p ^ IMIN;
+      if (p > 0) {
+        --p;
+        i32 s = lhead[T[p]]++;
+        SA[s] = p | ((T[p - (p > 0)] < T[p]) ? IMIN : 0);
+        if (BWT) bw[s] = (u8)T[p - (p > 0)];
+      }
+    }
+  }
+  {  // R2L: S suffixes; written sign = predecessor-is-L
+    i32* rtail = tmpk;
+    for (i32 c = 0; c < k; ++c) rtail[c] = bstart[c] + total[c];
+    constexpr i32 PF = 32;
+    i32 i = n - 1;
+    for (i32 j = 2 * PF + 1; i >= j; i -= 2) {
+      __builtin_prefetch(&SA[i - 3 * PF], 1);
+      {
+        i32 s0 = SA[i - 2 * PF - 0];
+        if (s0 > 0) { __builtin_prefetch(&T[s0 - 1]); }
+        i32 s1 = SA[i - 2 * PF - 1];
+        if (s1 > 0) { __builtin_prefetch(&T[s1 - 1]); }
+      }
+      if (sizeof(CharT) > 1) {
+        i32 s2 = SA[i - PF - 0];
+        if (s2 > 0) { __builtin_prefetch(&rtail[T[s2 - 1]], 1); }
+        i32 s3 = SA[i - PF - 1];
+        if (s3 > 0) { __builtin_prefetch(&rtail[T[s3 - 1]], 1); }
+      }
+      i32 p0 = SA[i - 0];
+      SA[i - 0] = p0 & IMAX;
+      if (p0 > 0) {
+        --p0;
+        i32 s = --rtail[T[p0]];
+        SA[s] = p0 | ((T[p0 - (p0 > 0)] > T[p0]) ? IMIN : 0);
+        if (BWT) bw[s] = (u8)T[p0 - (p0 > 0)];
+      }
+      i32 p1 = SA[i - 1];
+      SA[i - 1] = p1 & IMAX;
+      if (p1 > 0) {
+        --p1;
+        i32 s = --rtail[T[p1]];
+        SA[s] = p1 | ((T[p1 - (p1 > 0)] > T[p1]) ? IMIN : 0);
+        if (BWT) bw[s] = (u8)T[p1 - (p1 > 0)];
+      }
+    }
+    for (; i >= 0; --i) {
+      i32 p = SA[i];
+      SA[i] = p & IMAX;
+      if (p > 0) {
+        --p;
+        i32 s = --rtail[T[p]];
+        SA[s] = p | ((T[p - (p > 0)] > T[p]) ? IMIN : 0);
+        if (BWT) bw[s] = (u8)T[p - (p > 0)];
+      }
+    }
+  }
+}
 
 template <typename CharT>
 static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
@@ -151,15 +263,41 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
 
     {  // L2R over the left region
       constexpr i32 PF = 32;
-      for (i32 i = 0; i < left_total; ++i) {
-        if (i + PF < left_total) {
-          i32 pp = SA[i + PF] & IMAX;
-          __builtin_prefetch(&T[pp]);
+      i32 i = 0;
+      for (i32 jend = left_total - PF - 1; i < jend; i += 2) {
+        __builtin_prefetch(&SA[i + 2 * PF]);
+        {
+          i32 a = SA[i + PF + 0] & IMAX;
+          __builtin_prefetch(&T[a - 1]);
+          i32 b = SA[i + PF + 1] & IMAX;
+          __builtin_prefetch(&T[b - 1]);
         }
+        i32 praw0 = SA[i + 0];
+        d += (praw0 < 0);
+        i32 p0 = praw0 & IMAX;
+        if (p0 != f) {  // the first LMS has no in-region predecessor
+          i32 q = p0 - 1;
+          i32 v = 2 * (i32)T[q] + (T[q - 1] >= T[q] ? 1 : 0);
+          i32 mark = (dist[v] != d) ? IMIN : 0;
+          dist[v] = d;
+          SA[head[v]++] = q | mark;
+        }
+        i32 praw1 = SA[i + 1];
+        d += (praw1 < 0);
+        i32 p1 = praw1 & IMAX;
+        if (p1 != f) {
+          i32 q = p1 - 1;
+          i32 v = 2 * (i32)T[q] + (T[q - 1] >= T[q] ? 1 : 0);
+          i32 mark = (dist[v] != d) ? IMIN : 0;
+          dist[v] = d;
+          SA[head[v]++] = q | mark;
+        }
+      }
+      for (; i < left_total; ++i) {
         i32 praw = SA[i];
         d += (praw < 0);
         i32 p = praw & IMAX;
-        if (p == f) continue;  // the first LMS has no in-region predecessor
+        if (p == f) continue;
         i32 q = p - 1;
         i32 v = 2 * (i32)T[q] + (T[q - 1] >= T[q] ? 1 : 0);
         i32 mark = (dist[v] != d) ? IMIN : 0;
@@ -183,11 +321,37 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
       constexpr i32 PF = 32;
       const i32 rlo = left_total;
       const i32 rhi = tail[2 * (k - 1) + 0];  // == n - f
-      for (i32 i = rhi - 1; i >= rlo; --i) {
-        if (i - PF >= rlo) {
-          i32 pp = SA[i - PF] & IMAX;
-          __builtin_prefetch(&T[pp - 2]);
+      i32 i = rhi - 1;
+      for (i32 jend = rlo + PF + 1; i >= jend; i -= 2) {
+        __builtin_prefetch(&SA[i - 2 * PF]);
+        {
+          i32 a = SA[i - PF - 0] & IMAX;
+          __builtin_prefetch(&T[a - 2]);
+          i32 b = SA[i - PF - 1] & IMAX;
+          __builtin_prefetch(&T[b - 2]);
         }
+        i32 praw0 = SA[i - 0];
+        d += (praw0 < 0);
+        i32 p0 = praw0 & IMAX;
+        {
+          i32 q = p0 - 1;
+          i32 v = 2 * (i32)T[q] + (T[q - 1] > T[q] ? 1 : 0);
+          i32 mark = (dist[v] != d) ? IMIN : 0;
+          dist[v] = d;
+          SA[--tail[v]] = q | mark;
+        }
+        i32 praw1 = SA[i - 1];
+        d += (praw1 < 0);
+        i32 p1 = praw1 & IMAX;
+        {
+          i32 q = p1 - 1;
+          i32 v = 2 * (i32)T[q] + (T[q - 1] > T[q] ? 1 : 0);
+          i32 mark = (dist[v] != d) ? IMIN : 0;
+          dist[v] = d;
+          SA[--tail[v]] = q | mark;
+        }
+      }
+      for (; i >= rlo; --i) {
         i32 praw = SA[i];
         d += (praw < 0);
         i32 p = praw & IMAX;
@@ -218,90 +382,60 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
     }
 
     if (names < m) {
-      delete[] tbl;  // free transient tables before recursing
-      tbl = nullptr;
+      // keep the tables across the recursion when they're small relative to
+      // the level (skips the post-recursion recount); otherwise free them
+      // so peak memory stays bounded and recount afterwards
+      const bool keep_tbl = (size_t)14 * (size_t)k <= (size_t)n;
+      if (!keep_tbl) { delete[] tbl; tbl = nullptr; }
       i32* s1 = SA + n - m;
       for (i32 j = 0; j < m; ++j) s1[j] = name_by_pos[lms_text[j] >> 1] - 1;
       sais_dense<i32>(s1, SA, m, names, sc);
-      if (sc->oom) { sc->lms_used -= (size_t)m; return; }
+      if (sc->oom) { delete[] tbl; sc->lms_used -= (size_t)m; return; }
       for (i32 j = 0; j < m; ++j) {
         if (j + 16 < m) __builtin_prefetch(&lms_text[SA[j + 16]]);
         SA[j] = lms_text[SA[j]];
       }
-      // rebuild the final-induce tables (freed above)
-      tbl = new (std::nothrow) i32[(size_t)4 * k];
-      if (!tbl) { sc->oom = true; sc->lms_used -= (size_t)m; return; }
-      total = tbl; bstart = tbl + k;
-      std::memset(total, 0, sizeof(i32) * (size_t)k);
-      for (i32 i = 0; i < n; ++i) total[T[i]]++;
-      i32 sum = 0;
-      for (i32 c = 0; c < k; ++c) { bstart[c] = sum; sum += total[c]; }
+      if (!keep_tbl) {
+        tbl = new (std::nothrow) i32[(size_t)4 * k];
+        if (!tbl) { sc->oom = true; sc->lms_used -= (size_t)m; return; }
+        total = tbl; bstart = tbl + k;
+        std::memset(total, 0, sizeof(i32) * (size_t)k);
+        for (i32 i = 0; i < n; ++i) total[T[i]]++;
+        i32 sum = 0;
+        for (i32 c = 0; c < k; ++c) { bstart[c] = sum; sum += total[c]; }
+      }
     }
   } else if (m == 1) {
     SA[0] = lms_text[0];
   }
   sc->lms_used -= (size_t)m;
 
-  // ---- final induce: sign bit = "predecessor has the other type" ----
+  // ---- final induce ----
   {
     i32* lms_sorted = sc->scratch;
     for (i32 j = 0; j < m; ++j) lms_sorted[j] = SA[j];
     std::memset(SA, 0, sizeof(i32) * (size_t)n);
+    i32* tmpk = tbl + 2 * (size_t)k;  // free space in both tbl layouts
     {
-      i32* btail = head;  // reuse as k-sized temp (tbl may have been rebuilt:
-      // after the names<m branch, head aliases tbl+2k which is free space)
-      btail = tbl + 2 * (size_t)k;
+      i32* btail = tmpk;
       for (i32 c = 0; c < k; ++c) btail[c] = bstart[c] + total[c];
       for (i32 j = m - 1; j >= 0; --j) {
         i32 p = lms_sorted[j];
         SA[--btail[T[p]]] = p;
       }
     }
-    {  // L2R: L suffixes; written sign = predecessor-is-S
-      i32* lhead = tbl + 2 * (size_t)k;
-      std::memcpy(lhead, bstart, sizeof(i32) * (size_t)k);
-      {
-        i32 q = n - 1;
-        SA[lhead[T[q]]++] = q | ((T[q - 1] < T[q]) ? IMIN : 0);
-      }
-      constexpr i32 PF = 32;
-      for (i32 i = 0; i < n; ++i) {
-        if (i + PF < n) {
-          i32 sp = SA[i + PF];
-          if (sp > 0) __builtin_prefetch(&T[sp - 1]);
-        }
-        i32 p = SA[i];
-        SA[i] = p ^ IMIN;
-        if (p > 0) {
-          --p;
-          SA[lhead[T[p]]++] = p | ((T[p - (p > 0)] < T[p]) ? IMIN : 0);
-        }
-      }
-    }
-    {  // R2L: S suffixes; written sign = predecessor-is-L
-      i32* rtail = tbl + 2 * (size_t)k;
-      for (i32 c = 0; c < k; ++c) rtail[c] = bstart[c] + total[c];
-      constexpr i32 PF = 32;
-      for (i32 i = n - 1; i >= 0; --i) {
-        if (i - PF >= 0) {
-          i32 sp = SA[i - PF];
-          if (sp > 0) __builtin_prefetch(&T[sp - 1]);
-        }
-        i32 p = SA[i];
-        SA[i] = p & IMAX;
-        if (p > 0) {
-          --p;
-          SA[--rtail[T[p]]] = p | ((T[p - (p > 0)] > T[p]) ? IMIN : 0);
-        }
-      }
-    }
+    if (sizeof(CharT) == 1 && sc->bwt != nullptr)
+      final_induce<CharT, true>(T, SA, n, k, bstart, total, tmpk, sc->bwt);
+    else
+      final_induce<CharT, false>(T, SA, n, k, bstart, total, tmpk, nullptr);
   }
   delete[] tbl;
 }
 
-// Entry point: suffix array of T[0..n) into SA[0..n).  Returns 0, or -2 on
-// allocation failure.
-static int suffix_array_fast(const u8* T, i32* SA, i32 n) {
+// Entry point: suffix array of T[0..n) into SA[0..n); when bwt != null it
+// also receives bwt[j] = T[SA[j]-1] (the slot with SA[j]==0 holds garbage).
+// Returns 0, or -2 on allocation failure.
+static int suffix_array_fast(const u8* T, i32* SA, i32 n, u8* bwt = nullptr) {
   if (n <= 0) return -1;
   if (n == 1) { SA[0] = 0; return 0; }
   i32* lms_stack = new (std::nothrow) i32[(size_t)n + 4];
@@ -310,7 +444,7 @@ static int suffix_array_fast(const u8* T, i32* SA, i32 n) {
     delete[] lms_stack; delete[] scratch;
     return -2;
   }
-  Scratch sc{lms_stack, 0, scratch, false};
+  Scratch sc{lms_stack, 0, scratch, false, bwt};
   sais_dense<u8>(T, SA, n, 256, &sc);
   delete[] lms_stack;
   delete[] scratch;
@@ -339,35 +473,42 @@ static int aux_rate(int n) {
 int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/) {
   if (n <= 1) { if (num_indexes) *num_indexes = 0; return n; }
   i32* SA = new (std::nothrow) i32[(size_t)n];
-  if (!SA) return -2;
-  if (suffix_array(T, SA, n) != 0) { delete[] SA; return -2; }
-
   u8* U = new (std::nothrow) u8[(size_t)n];
-  if (!U) { delete[] SA; return -2; }
+  if (!SA || !U) { delete[] SA; delete[] U; return -2; }
+  const u8 last = T[n - 1];
+  // BWT bytes fall out of the final induce (U[j] = T[SA[j]-1]) — no
+  // separate n-random-read extraction pass.
+  if (tbsc_fast_sais::suffix_array_fast(T, SA, n, U) != 0) {
+    delete[] SA; delete[] U;
+    return -2;
+  }
 
   int r = aux_rate(n);
   int n_aux = (n - 1) / r;
   int primary = -1;
-  U[0] = T[n - 1];
-  for (int j = 0, w = 1; j < n; ++j) {
-    i32 sj = SA[j];
-    if (sj == 0) { primary = j + 1; continue; }
-    U[w++] = T[sj - 1];
-  }
-  if (indexes && num_indexes) {
-    // indexes[t] = rank of suffix (t+1)*r; r is a power of two
+  {
+    // one sequential SA sweep: primary slot + aux indexes (r is a power
+    // of two, so the modulo is a mask)
     const i32 mask = r - 1;
+    const int shift = __builtin_ctz(r);
+    const i32 hi = (i32)n_aux * r;
     for (int j = 0; j < n; ++j) {
       i32 sj = SA[j];
-      if (sj != 0 && (sj & mask) == 0 && sj <= (i32)n_aux * r)
-        indexes[(sj >> __builtin_ctz(r)) - 1] = j;
+      if (sj == 0) primary = j + 1;
+      if (indexes && sj != 0 && (sj & mask) == 0 && sj <= hi)
+        indexes[(sj >> shift) - 1] = j;
     }
+  }
+  if (indexes && num_indexes) {
     *num_indexes = (u8)n_aux;
   } else if (num_indexes) {
     *num_indexes = 0;
   }
-
-  std::memcpy(T, U, (size_t)n);
+  // assemble the reference stream convention: row 0 shows T[n-1]; the
+  // primary (sentinel) row is skipped
+  std::memcpy(T + 1, U, (size_t)(primary - 1));
+  std::memcpy(T + primary, U + primary, (size_t)(n - primary));
+  T[0] = last;
   delete[] U;
   delete[] SA;
   return primary;
