@@ -184,13 +184,36 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
   // after the reversal).  Totals are derived from the histogram.
   i32 m = 0;
   {
+    // branchless type chain: t(i) = L iff T[i] > T[i+1], inherit on equal
     u8 tnext = 1;  // t(n-1) = L under the virtual sentinel
     i32 mt = 0;
-    for (i32 i = n - 2; i >= 0; --i) {
-      if (i >= 128) __builtin_prefetch(&T[i - 128]);
-      u8 ti = (T[i] > T[i + 1]) ? 1 : (T[i] < T[i + 1]) ? 0 : tnext;
+    i32 i = n - 2;
+    for (; i >= 1; i -= 2) {
+      if (i >= 256) __builtin_prefetch(&T[i - 256]);
+      {
+        CharT a = T[i], b = T[i + 1];
+        u8 ti = (u8)((a > b) | ((a == b) & tnext));
+        u8 cls = (u8)((tnext << 1) | ti);
+        hist4[4 * (size_t)b + cls]++;
+        lms_text[mt] = i + 1;
+        mt += (cls == cSL);
+        tnext = ti;
+      }
+      {
+        CharT a = T[i - 1], b = T[i];
+        u8 ti = (u8)((a > b) | ((a == b) & tnext));
+        u8 cls = (u8)((tnext << 1) | ti);
+        hist4[4 * (size_t)b + cls]++;
+        lms_text[mt] = i;
+        mt += (cls == cSL);
+        tnext = ti;
+      }
+    }
+    for (; i >= 0; --i) {
+      CharT a = T[i], b = T[i + 1];
+      u8 ti = (u8)((a > b) | ((a == b) & tnext));
       u8 cls = (u8)((tnext << 1) | ti);
-      hist4[4 * (size_t)T[i + 1] + cls]++;
+      hist4[4 * (size_t)b + cls]++;
       lms_text[mt] = i + 1;
       mt += (cls == cSL);
       tnext = ti;
@@ -392,7 +415,7 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
       sais_dense<i32>(s1, SA, m, names, sc);
       if (sc->oom) { delete[] tbl; sc->lms_used -= (size_t)m; return; }
       for (i32 j = 0; j < m; ++j) {
-        if (j + 16 < m) __builtin_prefetch(&lms_text[SA[j + 16]]);
+        if (j + 32 < m) __builtin_prefetch(&lms_text[SA[j + 32]]);
         SA[j] = lms_text[SA[j]];
       }
       if (!keep_tbl) {
