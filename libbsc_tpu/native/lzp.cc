@@ -9,10 +9,18 @@
 // A literal 0xf2 with no hash hit is NOT escaped.  Hash updates on the
 // decoder mirror the encoder exactly, including inside copied matches.
 //
-// The encoder here implements the reference's "generic" match policy
-// (lzp.cpp:441-531) including its failed-region heuristic, so the output is
-// decodable by any conforming decoder.  Sub-block splitting (1/2/4/8 chunks
-// with an in-stream directory, lzp.cpp:676-715) is applied above.
+// The encoder keeps the reference's match POLICY (same probes, extension
+// arithmetic, and failed-region heuristic, so streams land within noise of
+// the reference's sizes) but is organized around hash WINDOWS instead of a
+// byte-serial context chain: context hashes for a span of upcoming
+// positions are precomputed straight from the input bytes (they do not
+// depend on coding decisions while no match fires), which removes the
+// serial context register, lets the hash computation pipeline, and allows
+// prefetching the hash-table lines a full window ahead.  A fired match
+// invalidates the rest of the window (positions inside a match must not
+// touch the table — the decoder mirrors updates only at decision points).
+// Sub-block splitting (1/2/4/8 chunks with an in-stream directory,
+// lzp.cpp:676-715) is applied above.
 
 #include <cstdint>
 #include <cstring>
@@ -26,94 +34,149 @@ namespace tbsc {
 
 using u8 = uint8_t;
 using u32 = uint32_t;
+using u64 = uint64_t;
 
 static const int kFlag = 0xf2;
 
-static inline u32 ctx_hash(u32 context, u32 mask) {
-  return ((context >> 15) ^ context ^ (context >> 3)) & mask;
-}
+static inline u32 ld32(const u8* p) { u32 v; std::memcpy(&v, p, 4); return v; }
 
-static inline u32 load_ctx(const u8* p) {
-  // context of position p: previous 4 bytes, most recent in the low byte
-  return (u32)p[-1] | ((u32)p[-2] << 8) | ((u32)p[-3] << 16) | ((u32)p[-4] << 24);
+// context of position p = previous 4 bytes, oldest in the high byte
+static inline u32 ctx_at(const u8* p) { return __builtin_bswap32(ld32(p - 4)); }
+
+static inline u32 ctx_hash(u32 c, u32 mask) {
+  return ((c >> 15) ^ c ^ (c >> 3)) & mask;
 }
 
 int lzp_encode_block(const u8* input, const u8* input_end, u8* output, u8* output_end,
                      int hash_size, int min_len) {
-  if ((int)(input_end - input) - min_len < 32) return -3;
+  const int n = (int)(input_end - input);
+  if (n - min_len < 32) return -3;
 
   const u32 mask = (1u << hash_size) - 1;
-  int* lookup = new (std::nothrow) int[(size_t)1 << hash_size]();
-  if (!lookup) return -2;
+  int* tab = new (std::nothrow) int[(size_t)1 << hash_size]();
+  if (!tab) return -2;
 
-  const u8* in_start = input;
-  const u8* out_start = output;
-  const u8* out_eob = output_end - 8;
-  const u8* heuristic = input;
-  const u8* min_len_end = input_end - min_len - 32;
+  const u8* const base = input;
+  u8* const out_base = output;
+  u8* const out_eob = output_end - 8;
+  const int main_end = n - min_len - 32;  // last position eligible for a match
+  int heur = 0;  // failed-region frontier (position index)
 
-  for (int i = 0; i < 4; ++i) *output++ = *input++;
+  output[0] = input[0]; output[1] = input[1];
+  output[2] = input[2]; output[3] = input[3];
+  output += 4;
 
-  u32 context = load_ctx(input);
-  while (input < min_len_end && output < out_eob) {
-    u32 idx = ctx_hash(context, mask);
-    int value = lookup[idx];
-    lookup[idx] = (int)(input - in_start);
-    if (value > 0) {
-      const u8* ref = in_start + value;
-      bool head_ok = std::memcmp(input + min_len - 4, ref + min_len - 4, 4) == 0 &&
-                     std::memcmp(input, ref, 4) == 0;
-      bool matched = false;
-      if (head_ok) {
-        if (heuristic > input && std::memcmp(heuristic, ref + (heuristic - input), 4) != 0) {
-          // known-bad region: skip the full extension scan
+  enum { W = 128, HPF = 16 };
+  u32 hbuf[W];
+
+  int pos = 4;
+  while (pos < main_end && output < out_eob - 2 * W - 8) {
+    const int wlen = (main_end - pos) < W ? (main_end - pos) : W;
+    // hashes for the whole window straight from the bytes — no serial chain
+    for (int w = 0; w < wlen; ++w)
+      hbuf[w] = ctx_hash(ctx_at(base + pos + w), mask);
+
+    bool jumped = false;
+    for (int w = 0; w < wlen; ++w) {
+      if (w + HPF < wlen) __builtin_prefetch(&tab[hbuf[w + HPF]], 1);
+      const int at = pos + w;
+      const int cand = tab[hbuf[w]];
+      tab[hbuf[w]] = at;
+      const u8 lit = base[at];
+      if (cand <= 0) {
+        *output++ = lit;
+        continue;
+      }
+      const u8* cur = base + at;
+      const u8* ref = base + cand;
+      // selective probes first (tail of the minimal match, then head);
+      // both are implied by any true >= min_len match
+      if (ld32(cur + min_len - 4) == ld32(ref + min_len - 4) &&
+          ld32(cur) == ld32(ref)) {
+        if (heur > at && ld32(base + heur) != ld32(ref + (heur - at))) {
+          // inside a region that already failed to extend: do not rescan
         } else {
           int len = 4;
-          for (; input + len < min_len_end; len += 4) {
-            if (std::memcmp(input + len, ref + len, 4) != 0) break;
-          }
-          if (len < min_len) {
-            if (heuristic < input + len) heuristic = input + len;
-          } else {
-            len += 2 * (std::memcmp(input + len, ref + len, 2) == 0);
-            len += (input[len] == ref[len]);
-            input += len;
-            context = load_ctx(input);
+          while (at + len < main_end && ld32(cur + len) == ld32(ref + len))
+            len += 4;
+          if (len >= min_len) {
+            len += 2 * (cur[len] == ref[len] && cur[len + 1] == ref[len + 1]);
+            len += (cur[len] == ref[len]);
             *output++ = kFlag;
-            len -= min_len;
-            while (len >= 254) {
-              len -= 254;
+            for (int rem = len - min_len; ; rem -= 254) {
+              if (rem < 254) { *output++ = (u8)rem; break; }
               *output++ = 254;
               if (output >= out_eob) break;
             }
-            *output++ = (u8)len;
-            matched = true;
+            // window positions past here are intra-match: no table updates
+            pos = at + len;
+            jumped = true;
+            break;
           }
+          if (heur < at + len) heur = at + len;
         }
       }
-      if (!matched) {
-        u8 next = *output++ = *input++;
-        context = (context << 8) | next;
-        if (next == kFlag) *output++ = 255;
+      *output++ = lit;
+      if (lit == kFlag) *output++ = 255;
+    }
+    if (!jumped) pos += wlen;
+  }
+
+  // Remainder of the match-eligible span plus the tail, byte-serial with the
+  // exact per-byte overflow checks (this path also runs when the output is
+  // nearly full, preserving the reference's incompressible cutoff).
+  while (pos < main_end && output < out_eob) {
+    const u32 h = ctx_hash(ctx_at(base + pos), mask);
+    const int cand = tab[h];
+    tab[h] = pos;
+    const u8 lit = base[pos];
+    if (cand > 0) {
+      const u8* cur = base + pos;
+      const u8* ref = base + cand;
+      if (ld32(cur + min_len - 4) == ld32(ref + min_len - 4) &&
+          ld32(cur) == ld32(ref)) {
+        if (heur > pos && ld32(base + heur) != ld32(ref + (heur - pos))) {
+          // failed region
+        } else {
+          int len = 4;
+          while (pos + len < main_end && ld32(cur + len) == ld32(ref + len))
+            len += 4;
+          if (len >= min_len) {
+            len += 2 * (cur[len] == ref[len] && cur[len + 1] == ref[len + 1]);
+            len += (cur[len] == ref[len]);
+            *output++ = kFlag;
+            for (int rem = len - min_len; ; rem -= 254) {
+              if (rem < 254) { *output++ = (u8)rem; break; }
+              *output++ = 254;
+              if (output >= out_eob) break;
+            }
+            pos += len;
+            continue;
+          }
+          if (heur < pos + len) heur = pos + len;
+        }
       }
+      *output++ = lit;
+      ++pos;
+      if (lit == kFlag) *output++ = 255;
     } else {
-      context = (context << 8) | (*output++ = *input++);
+      *output++ = lit;
+      ++pos;
     }
   }
 
   // Tail: literals only, with flag escaping under hash hits.
-  context = load_ctx(input);
-  while (input < input_end && output < out_eob) {
-    u32 idx = ctx_hash(context, mask);
-    int value = lookup[idx];
-    lookup[idx] = (int)(input - in_start);
-    u8 next = *output++ = *input++;
-    context = (context << 8) | next;
-    if (next == kFlag && value > 0) *output++ = 255;
+  while (pos < n && output < out_eob) {
+    const u32 h = ctx_hash(ctx_at(base + pos), mask);
+    const int cand = tab[h];
+    tab[h] = pos;
+    const u8 lit = base[pos++];
+    *output++ = lit;
+    if (lit == kFlag && cand > 0) *output++ = 255;
   }
 
-  delete[] lookup;
-  return output >= out_eob ? -3 : (int)(output - out_start);
+  delete[] tab;
+  return output >= out_eob ? -3 : (int)(output - out_base);
 }
 
 int lzp_decode_block(const u8* input, const u8* input_end, u8* output,
@@ -127,7 +190,7 @@ int lzp_decode_block(const u8* input, const u8* input_end, u8* output,
   const u8* out_start = output;
   for (int i = 0; i < 4; ++i) *output++ = *input++;
 
-  u32 context = load_ctx(output);
+  u32 context = ctx_at(output);
   while (input < input_end) {
     u32 idx = ctx_hash(context, mask);
     int value = lookup[idx];
@@ -143,7 +206,7 @@ int lzp_decode_block(const u8* input, const u8* input_end, u8* output,
         const u8* ref = out_start + value;
         u8* out_end = output + len;
         while (output < out_end) *output++ = *ref++;
-        context = load_ctx(output);
+        context = ctx_at(output);
       } else {
         ++input;
         context = (context << 8) | (*output++ = kFlag);
