@@ -174,7 +174,8 @@ def bwt_encode(data: np.ndarray, features: int):
         rc = lib.tbsc_bwt_encode(_u8p(buf), n, _u8p(ni), _i32p(idx), _num_threads)
         if rc < 0:
             return rc, 0, None
-        data[:] = buf
+        if buf is not data:
+            data[:] = buf
         return rc, int(ni[0]), idx
     from .fallback import bwt as _pybwt
 
@@ -192,7 +193,7 @@ def bwt_decode(data: np.ndarray, index: int, num_indexes: int, indexes, features
                if indexes is not None else np.zeros(1, dtype=np.int32))
         rc = lib.tbsc_bwt_decode(_u8p(buf), n, index, num_indexes, _i32p(idx),
                                  _num_threads)
-        if rc == 0:
+        if rc == 0 and buf is not data:
             data[:] = buf
         return rc
     from .fallback import bwt as _pybwt
@@ -237,7 +238,7 @@ def st_encode(data: np.ndarray, k: int, features: int):
 
         buf = _as_c(data)
         rc = lib.tbsc_st_encode(_u8p(buf), n, k, _num_threads)
-        if rc >= 0:
+        if rc >= 0 and buf is not data:
             data[:] = buf
         return rc
     from .fallback import st as _pyst
@@ -253,7 +254,7 @@ def st_decode(data: np.ndarray, k: int, index: int, features: int):
 
         buf = _as_c(data)
         rc = lib.tbsc_st_decode(_u8p(buf), n, k, index, _num_threads)
-        if rc == 0:
+        if rc == 0 and buf is not data:
             data[:] = buf
         return rc
     from .fallback import st as _pyst
