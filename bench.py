@@ -1,22 +1,26 @@
 #!/usr/bin/env python
-"""End-to-end encode benchmark. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+"""End-to-end benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N, "detail": {...}}
 
-Measures block-farm compression throughput (the reference CLI's headline
-`encoded X => Y (MB/s)` metric, bsc.cpp:427) on a deterministic 64 MB
-text-like corpus, 16 MB blocks, threaded block pipeline.  When an
-accelerator (TPU) device is present the Sort Transform runs on-device
-(engine.st_encode -> ops/st.py) with host LZP/QLFC overlapping the
-device transfers; otherwise the native BWT pipeline runs.
+Headline: DEFAULT-config (-b25, LZP + BWT + QLFC-static) encode throughput on
+a deterministic 64 MB text-like corpus — the reference CLI's own headline
+`encoded X => Y (MB/s)` metric (bsc.cpp:427) at the reference's own default
+settings, so encode/decode/size are all directly comparable.
 
-Baseline: reference bsc built with `make CC=g++` on this machine class
-(1 vCPU Xeon 2.10GHz AVX2) encoding THE SAME corpus with its default
-`-b25` config (LZP+BWT+QLFC-static) — measured 2026-08-16, see BASELINE.md.
-Override with env TBSC_BASELINE_MBS.
+Baseline: the reference bsc binary measured LIVE on the same corpus in the
+same machine-moment when a build is available (/tmp/refbuild/bsc or
+$TBSC_REF_BSC; round-1 left one in /tmp), because this 1-vCPU box swings
++-10% with neighbor load; otherwise the clean-machine pin from BASELINE.md
+(14.13 MB/s encode / 23.10 decode / 9,836,502 bytes, 2026-08-16).
+
+detail additionally carries the accelerated operating point (TPU ST8 farm:
+device sort + host LZP/QLFC with a heterogeneous work-stealing queue) when
+a device is present.
 """
 
 import json
 import os
+
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -25,22 +29,19 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Reference bsc (make CC=g++) at its DEFAULT config (-b25, LZP+BWT+QLFC-
-# static) on this exact corpus and machine class: 14.13 MB/s encode,
-# 23.10 MB/s decode, 9,836,502 bytes (re-measured cleanly 2026-08-16 —
-# an earlier 11.27 at -b16 was contaminated by background load; see
-# BASELINE.md).
-BASELINE_MBS = float(os.environ.get("TBSC_BASELINE_MBS", "14.13"))
+PIN_ENC = float(os.environ.get("TBSC_BASELINE_MBS", "14.13"))
+PIN_DEC = 23.10
+PIN_BYTES = 9836502
 CORPUS_MB = int(os.environ.get("TBSC_BENCH_MB", "64"))
-# 8 MB blocks balance the device/native workers best on one chip + one core
-# (measured: 16.3 MB/s vs 10.9 at 16 MB); costs ~2% compressed size vs bsc.
-BLOCK = int(os.environ.get("TBSC_BENCH_BLOCK_MB", "8")) * 1024 * 1024
+DEFAULT_BLOCK = 25 * 1024 * 1024
+# 8 MB blocks balance the device/native farm workers best on one chip + one
+# core (measured r1: 16.3 MB/s vs 10.9 at 16 MB); costs ~2% size vs BWT.
+FARM_BLOCK = int(os.environ.get("TBSC_BENCH_BLOCK_MB", "8")) * 1024 * 1024
 
 
 def make_corpus(n_bytes: int) -> bytes:
     """Deterministic text-like corpus (seeded Zipf word mix + hex tokens)."""
     rng = np.random.default_rng(0xB5C)
-    # synthetic vocabulary: 4096 words, lengths 2..12
     alphabet = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", dtype=np.uint8)
     vocab = []
     for _ in range(4096):
@@ -66,51 +67,119 @@ def make_corpus(n_bytes: int) -> bytes:
     return bytes(out[:n_bytes])
 
 
-def main() -> None:
+def _load_oracle():
+    """The reference library built as a .so (tests/oracle.py); in-memory
+    calls make the baseline directly comparable to our API-level timing."""
+    try:
+        from tests.oracle import load_oracle
+
+        return load_oracle()
+    except Exception:
+        return None
+
+
+def measure_reference(data: bytes):
+    """Time the reference LIBRARY live on this corpus (in-memory, same
+    block loop as measure_default); None if unavailable."""
+    import ctypes
+
+    lib = _load_oracle()
+    if lib is None:
+        return None
+    try:
+        lib.o_init(0)
+        n = len(data)
+        blocks = [data[i:i + DEFAULT_BLOCK] for i in range(0, n, DEFAULT_BLOCK)]
+        outbufs = [ctypes.create_string_buffer(len(b) + 4096) for b in blocks]
+
+        enc_dt = float("inf")
+        sizes = []
+        for _ in range(3):
+            sizes = []
+            t0 = time.time()
+            for blk, ob in zip(blocks, outbufs):
+                r = lib.o_compress(blk, ob, len(blk), 15, 128, 1, 1, 0)
+                if r < 0:
+                    return None
+                sizes.append(r)
+            enc_dt = min(enc_dt, time.time() - t0)
+
+        decbuf = ctypes.create_string_buffer(DEFAULT_BLOCK + 4096)
+        dec_dt = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            for blk, ob, sz in zip(blocks, outbufs, sizes):
+                r = lib.o_decompress(ob.raw[:sz], sz, decbuf, len(blk), 0)
+                if r < 0:
+                    return None
+            dec_dt = min(dec_dt, time.time() - t0)
+        if decbuf.raw[: len(blocks[-1])] != blocks[-1]:
+            return None
+        return {"enc_mbs": round(n / 1e6 / enc_dt, 2),
+                "dec_mbs": round(n / 1e6 / dec_dt, 2),
+                "bytes": sum(sizes)}
+    except Exception:
+        return None
+
+
+def measure_default(data: bytes):
+    """Default config, native pipeline, 25 MB blocks, single core."""
+    import libbsc_tpu as B
+
+    n = len(data)
+    blocks = [data[i:i + DEFAULT_BLOCK] for i in range(0, n, DEFAULT_BLOCK)]
+    B.compress(blocks[0][: 1 << 20])  # warm model tables
+
+    enc_dt = float("inf")
+    payloads = None
+    for _ in range(3):
+        t0 = time.time()
+        payloads = [B.compress(blk) for blk in blocks]
+        enc_dt = min(enc_dt, time.time() - t0)
+    dec_dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        restored = b"".join(B.decompress(p) for p in payloads)
+        dec_dt = min(dec_dt, time.time() - t0)
+    assert restored == data, "default-config round-trip mismatch"
+    return {"enc_mbs": round(n / 1e6 / enc_dt, 2),
+            "dec_mbs": round(n / 1e6 / dec_dt, 2),
+            "bytes": sum(len(p) for p in payloads)}
+
+
+def measure_farm(data: bytes):
+    """Accelerated operating point: device ST8 + heterogeneous block farm."""
     import queue
 
     import libbsc_tpu as B
     from libbsc_tpu import constants as C, engine
 
-    data = make_corpus(CORPUS_MB * 1024 * 1024)
-    n = len(data)
-
-    features = C.DEFAULT_FEATURES
-    sorter = C.DEFAULT_BLOCKSORTER
-    have_device = False
     try:
         import jax
 
-        have_device = any(d.platform != "cpu" for d in jax.devices())
+        if not any(d.platform != "cpu" for d in jax.devices()):
+            return None
     except Exception:
-        pass
-    if have_device:
-        sorter = C.BLOCKSORTER_ST8  # one device radix sort (GPU-only in bsc)
+        return None
 
-    B.init(features)
+    n = len(data)
+    features = C.DEFAULT_FEATURES
+    sorter = C.BLOCKSORTER_ST8
+    blocks = [data[i:i + FARM_BLOCK] for i in range(0, n, FARM_BLOCK)]
 
-    blocks = [data[i:i + BLOCK] for i in range(0, n, BLOCK)]
+    # Warm up each block's XLA shape bucket outside the clock (programs
+    # persist to the on-disk compilation cache for later runs).
+    seen = set()
+    for blk in blocks:
+        arr = np.frombuffer(blk, dtype=np.uint8)
+        lz = engine.lzp_compress(arr.copy(), C.DEFAULT_LZPHASHSIZE,
+                                 C.DEFAULT_LZPMINLEN, features)
+        m = len(lz) if lz is not None else len(arr)
+        if engine.device_bucket(m) not in seen:
+            seen.add(engine.device_bucket(m))
+            warm = lz if lz is not None else arr
+            engine.st_encode(warm.copy(), 8, C.FEATURE_CUDA)
 
-    if have_device:
-        # Warm up each block's XLA shape bucket outside the clock (programs
-        # persist to the on-disk compilation cache for later runs).
-        seen = set()
-        for blk in blocks:
-            arr = np.frombuffer(blk, dtype=np.uint8)
-            lz = engine.lzp_compress(arr.copy(), C.DEFAULT_LZPHASHSIZE,
-                                     C.DEFAULT_LZPMINLEN, features)
-            m = len(lz) if lz is not None else len(arr)
-            if engine.device_bucket(m) not in seen:
-                seen.add(engine.device_bucket(m))
-                warm = lz if lz is not None else arr
-                engine.st_encode(warm.copy(), 8, C.FEATURE_CUDA)
-    else:
-        B.compress(blocks[0], block_sorter=sorter, features=features)
-
-    # Heterogeneous block farm: device workers run the TPU sort (host LZP +
-    # QLFC around it), a native worker keeps the CPU sorter busy on other
-    # blocks — the reference's GPU/CPU split (bwt.cpp:178) taken to a
-    # work-stealing queue.
     jobs: "queue.Queue" = queue.Queue()
     payloads: dict = {}
 
@@ -122,17 +191,10 @@ def main() -> None:
                 return
             payloads[i] = B.compress(blk, block_sorter=sorter, features=feat)
 
-    if have_device and len(blocks) > 1:
-        # 3 device workers keep transfers/compute of different blocks in
-        # flight; 1 native worker keeps the CPU sorter busy (A/B-measured)
-        dev = features | C.FEATURE_CUDA
-        feats = [dev, dev, dev, features]
-    else:
-        feats = [features | (C.FEATURE_CUDA if have_device else 0)]
+    dev = features | C.FEATURE_CUDA
+    feats = [dev, dev, dev, features] if len(blocks) > 1 else [dev]
 
-    # best of 3 passes: the device-tunnel throughput varies heavily
-    # run-to-run, and throughput benchmarks report sustained capability
-    dt = float("inf")
+    enc_dt = float("inf")
     for _ in range(3):
         payloads.clear()
         for i, blk in enumerate(blocks):
@@ -140,32 +202,54 @@ def main() -> None:
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=len(feats)) as ex:
             list(ex.map(worker, feats))
-        dt = min(dt, time.time() - t0)
-    payloads = [payloads[i] for i in range(len(blocks))]
+        enc_dt = min(enc_dt, time.time() - t0)
+    ordered = [payloads[i] for i in range(len(blocks))]
 
-    # verify round-trip before reporting (also timed: decode side metric)
-    total_out = sum(len(p) for p in payloads)
-    t1 = time.time()
-    restored = b"".join(B.decompress(p) for p in payloads)
-    decode_dt = time.time() - t1
-    assert restored == data, "round-trip mismatch"
+    t0 = time.time()
+    restored = b"".join(B.decompress(p) for p in ordered)
+    dec_dt = time.time() - t0
+    assert restored == data, "farm round-trip mismatch"
+    return {"enc_mbs": round(n / 1e6 / enc_dt, 2),
+            "dec_mbs": round(n / 1e6 / dec_dt, 2),
+            "bytes": sum(len(p) for p in ordered)}
 
-    value = n / 1e6 / dt
+
+def main() -> None:
+    import libbsc_tpu as B
+    from libbsc_tpu import constants as C
+
+    data = make_corpus(CORPUS_MB * 1024 * 1024)
+    B.init(C.DEFAULT_FEATURES)
+
+    ref = measure_reference(data)
+    base_enc = ref["enc_mbs"] if ref else PIN_ENC
+    base_dec = ref["dec_mbs"] if ref else PIN_DEC
+    base_bytes = ref["bytes"] if ref else PIN_BYTES
+
+    default = measure_default(data)
+    farm = measure_farm(data)
+
+    detail = {
+        "corpus_mb": CORPUS_MB,
+        "config": "default -b25 (LZP+BWT+QLFC-static), native, 1 core",
+        "decode_mbs": default["dec_mbs"],
+        "compressed_bytes": default["bytes"],
+        "vs_baseline_decode": round(default["dec_mbs"] / base_dec, 3),
+        "size_vs_baseline": round(default["bytes"] / base_bytes, 5),
+        "baseline": ("live reference binary" if ref else "pinned BASELINE.md"),
+        "baseline_enc_mbs": base_enc,
+        "baseline_dec_mbs": base_dec,
+        "baseline_bytes": base_bytes,
+    }
+    if farm:
+        detail["farm_st8_tpu"] = farm
+
     print(json.dumps({
-        "metric": "encode_throughput_e2e",
-        "value": round(value, 2),
+        "metric": "default_config_encode_e2e",
+        "value": default["enc_mbs"],
         "unit": "MB/s",
-        "vs_baseline": round(value / BASELINE_MBS, 3),
-        "detail": {
-            "corpus_mb": CORPUS_MB,
-            "blocks": len(blocks),
-            "sorter": int(sorter),
-            "compressed_bytes": total_out,
-            "ratio": round(n / total_out, 2),
-            "baseline_mbs": BASELINE_MBS,
-            "decode_mbs": round(n / 1e6 / decode_dt, 2),
-            "baseline_decode_mbs": 23.10,
-        },
+        "vs_baseline": round(default["enc_mbs"] / base_enc, 3),
+        "detail": detail,
     }))
 
 

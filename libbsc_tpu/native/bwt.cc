@@ -27,6 +27,7 @@ namespace tbsc {
 
 using u8 = uint8_t;
 using i32 = int32_t;
+using u32 = uint32_t;
 
 namespace tbsc_fast_sais {
 
@@ -537,12 +538,166 @@ int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/)
   return primary;
 }
 
+// ---------------------------------------------------------------------------
+// Bigram-PSI inverse BWT.
+//
+// Forward PSI walk over the suffix-row space [0, n]: row 0 is the virtual
+// sentinel, rows 1..n the sorted suffixes, PSI[j] = row of the suffix one
+// text position later.  The chase uses the SQUARED map P2[j] = PSI[PSI[j]]
+// so each dependent random access emits TWO text bytes — the same halving
+// libsais's biPSI decode gets (libsais.c:7086-7543), reformulated here
+// through an explicit PSI + row-indexed P2.  The two bytes of a step are
+// the bigram of the current row, recovered from the row number by a
+// fastbits LUT over the cumulative bigram bucket boundaries (rows are
+// grouped by 2-byte prefix since they are suffix-sorted).  The aux indexes
+// give num_indexes+1 independent forward chains, advanced together in one
+// wavefront loop for memory-level parallelism.
+// ---------------------------------------------------------------------------
+
+static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
+                        const i32* indexes, int r) {
+  const i32 nrows = n + 1;
+  i32* PSI = new (std::nothrow) i32[(size_t)nrows];
+  i32* P2 = new (std::nothrow) i32[(size_t)nrows];
+  u32* bend = new (std::nothrow) u32[65536];
+  constexpr int FASTBITS = 17;
+  uint16_t* fastbits = new (std::nothrow) uint16_t[(size_t)1 << FASTBITS];
+  u8* out = new (std::nothrow) u8[(size_t)n];
+  if (!PSI || !P2 || !bend || !fastbits || !out) {
+    delete[] PSI; delete[] P2; delete[] bend; delete[] fastbits; delete[] out;
+    return -2;
+  }
+
+  i32 cnt[256];
+  std::memset(cnt, 0, sizeof cnt);
+  for (int u = 0; u < n; ++u) cnt[T[u]]++;
+  i32 rowlo[257];  // first row of each char bucket (rows 1..n)
+  {
+    i32 sum = 1;
+    for (int c = 0; c < 256; ++c) { rowlo[c] = sum; sum += cnt[c]; }
+    rowlo[256] = sum;
+  }
+
+  // PSI + bigram counts in one scan: for ascending BWT positions u, the
+  // LF-rank of that occurrence maps back to row(u) = u + (u >= index).
+  // row(u) ascends with u, so the char of the written VALUE (the second
+  // char of the target row) comes from one merge pointer over the char
+  // boundaries — no separate bigram pass.
+  {
+    i32 front[256];
+    std::memcpy(front, rowlo, sizeof front);
+    PSI[0] = index;
+    std::memset(bend, 0, 65536 * sizeof(u32));
+    constexpr int PF = 64;
+    int c2 = 0;
+    for (int u = 0; u < n; ++u) {
+      if (u + PF < n) __builtin_prefetch(&PSI[front[T[u + PF]]], 1);
+      const u8 c1 = T[u];
+      const i32 row = u + (u >= index ? 1 : 0);
+      PSI[front[c1]++] = row;
+      while (row >= rowlo[c2 + 1]) ++c2;
+      // u == 0 targets row 0's successor slot (the length-1 suffix's PSI
+      // entry is the one with value 0) — it has no second char
+      bend[((i32)c1 << 8) | c2] += (u != 0);
+    }
+    // cumulative bucket ENDS over row space: row 0 (sentinel) first, the
+    // length-1 suffix as a pseudo slot at the head of its char bucket
+    const int pseudo_c1 = T[0];  // U[0] = last text char = that suffix's char
+    u32 sum = 1;                 // sentinel row
+    for (int w = 0; w < 65536; ++w) {
+      if ((w >> 8) == pseudo_c1 && (w & 255) == 0) sum += 1;
+      sum += bend[w];
+      bend[w] = sum;
+    }
+  }
+
+  // fastbits: high bits of a row number -> first bucket that can contain it
+  int shift = 0;
+  while (((nrows - 1) >> shift) >= (1 << FASTBITS)) ++shift;
+  {
+    u32 w = 0;
+    for (i32 v = 0; v < (i32)((size_t)1 << FASTBITS); ++v) {
+      i32 row = (i32)v << shift;
+      while (w < 65535 && (i32)bend[w] <= row) ++w;
+      fastbits[v] = (uint16_t)w;
+    }
+  }
+
+  // P2 = PSI applied twice; PSI ascends per char bucket, so the gather
+  // walks 256 ascending streams (cache-friendly).
+  {
+    constexpr int PF = 32;
+    P2[0] = PSI[index];
+    for (i32 j = 1; j < nrows; ++j) {
+      if (j + PF < nrows) __builtin_prefetch(&PSI[PSI[j + PF]]);
+      P2[j] = PSI[PSI[j]];
+    }
+  }
+
+  // forward chains: chain 0 from the primary row covers [0, r); chain t
+  // from aux row t covers [t*r, (t+1)*r); the last chain ends at n
+  const int n_chains = num_indexes + 1;
+  i32 kk[256];
+  int pp[256], qq[256];  // write cursor / end (exclusive)
+  for (int t = 0; t < n_chains; ++t) {
+    kk[t] = (t == 0) ? index : indexes[t - 1] + 1;
+    pp[t] = t * r;
+    qq[t] = (t == n_chains - 1) ? n : (t + 1) * r;
+  }
+
+  auto bigram_of = [&](i32 k) -> u32 {
+    u32 w = fastbits[(u32)k >> shift];
+    while ((i32)bend[w] <= k) ++w;
+    return w;
+  };
+
+  int active = n_chains;
+  while (active > 0) {
+    active = 0;
+    for (int t = 0; t < n_chains; ++t) {
+      int p = pp[t];
+      if (p >= qq[t]) continue;
+      ++active;
+      i32 k = kk[t];
+      if (p + 2 <= qq[t]) {
+        u32 w = bigram_of(k);
+        out[p] = (u8)(w >> 8);
+        out[p + 1] = (u8)(w & 255);
+        pp[t] = p + 2;
+        k = P2[k];
+        kk[t] = k;
+        __builtin_prefetch(&P2[k]);
+        __builtin_prefetch(&bend[fastbits[(u32)k >> shift]]);
+      } else {
+        // single trailing byte (only the last chain, odd total): this is
+        // text position n-1 whose char is U[0]
+        out[p] = T[0];
+        pp[t] = p + 1;
+      }
+    }
+  }
+
+  std::memcpy(T, out, (size_t)n);
+  delete[] PSI;
+  delete[] P2;
+  delete[] bend;
+  delete[] fastbits;
+  delete[] out;
+  return 0;
+}
+
 // Inverse BWT.  index/aux semantics per the encode above.
 int bwt_decode(u8* T, int n, int index, int num_indexes, const i32* indexes,
                int num_threads) {
   (void)num_threads;  // the interleaved chase saturates one core's MLP
   if (n <= 1) return 0;
   if (index <= 0 || index > n) return -1;
+
+  {
+    int r = aux_rate(n);
+    if (indexes && num_indexes == (n - 1) / r && num_indexes > 0 && n >= 4096)
+      return unbwt_bigram(T, n, index, num_indexes, indexes, r);
+  }
 
   // LF over the virtual-sentinel matrix:
   //   row k (k != index) shows U[u], u = k - (k > index);
