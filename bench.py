@@ -78,73 +78,67 @@ def _load_oracle():
         return None
 
 
-def measure_reference(data: bytes):
-    """Time the reference LIBRARY live on this corpus (in-memory, same
-    block loop as measure_default); None if unavailable."""
+def measure_default_vs_reference(data: bytes):
+    """Default config, native pipeline, 25 MB blocks, single core — measured
+    INTERLEAVED with the live reference library (in-memory oracle calls, same
+    block loop) so machine drift hits both sides equally.  Returns
+    (ours, ref); ref is None when the oracle is unavailable."""
     import ctypes
 
-    lib = _load_oracle()
-    if lib is None:
-        return None
-    try:
-        lib.o_init(0)
-        n = len(data)
-        blocks = [data[i:i + DEFAULT_BLOCK] for i in range(0, n, DEFAULT_BLOCK)]
-        outbufs = [ctypes.create_string_buffer(len(b) + 4096) for b in blocks]
-
-        enc_dt = float("inf")
-        sizes = []
-        for _ in range(3):
-            sizes = []
-            t0 = time.time()
-            for blk, ob in zip(blocks, outbufs):
-                r = lib.o_compress(blk, ob, len(blk), 15, 128, 1, 1, 0)
-                if r < 0:
-                    return None
-                sizes.append(r)
-            enc_dt = min(enc_dt, time.time() - t0)
-
-        decbuf = ctypes.create_string_buffer(DEFAULT_BLOCK + 4096)
-        dec_dt = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            for blk, ob, sz in zip(blocks, outbufs, sizes):
-                r = lib.o_decompress(ob.raw[:sz], sz, decbuf, len(blk), 0)
-                if r < 0:
-                    return None
-            dec_dt = min(dec_dt, time.time() - t0)
-        if decbuf.raw[: len(blocks[-1])] != blocks[-1]:
-            return None
-        return {"enc_mbs": round(n / 1e6 / enc_dt, 2),
-                "dec_mbs": round(n / 1e6 / dec_dt, 2),
-                "bytes": sum(sizes)}
-    except Exception:
-        return None
-
-
-def measure_default(data: bytes):
-    """Default config, native pipeline, 25 MB blocks, single core."""
     import libbsc_tpu as B
 
     n = len(data)
     blocks = [data[i:i + DEFAULT_BLOCK] for i in range(0, n, DEFAULT_BLOCK)]
     B.compress(blocks[0][: 1 << 20])  # warm model tables
 
-    enc_dt = float("inf")
+    lib = _load_oracle()
+    if lib is not None:
+        lib.o_init(0)
+        outbufs = [ctypes.create_string_buffer(len(b) + 4096) for b in blocks]
+        decbuf = ctypes.create_string_buffer(DEFAULT_BLOCK + 4096)
+
+    enc_dt = ref_enc_dt = float("inf")
     payloads = None
+    sizes = []
     for _ in range(3):
         t0 = time.time()
         payloads = [B.compress(blk) for blk in blocks]
         enc_dt = min(enc_dt, time.time() - t0)
-    dec_dt = float("inf")
+        if lib is not None:
+            sizes = []
+            t0 = time.time()
+            for blk, ob in zip(blocks, outbufs):
+                r = lib.o_compress(blk, ob, len(blk), 15, 128, 1, 1, 0)
+                if r < 0:
+                    lib = None
+                    break
+                sizes.append(r)
+            ref_enc_dt = min(ref_enc_dt, time.time() - t0)
+
+    dec_dt = ref_dec_dt = float("inf")
     for _ in range(2):
         t0 = time.time()
         restored = b"".join(B.decompress(p) for p in payloads)
         dec_dt = min(dec_dt, time.time() - t0)
+        if lib is not None:
+            t0 = time.time()
+            for blk, ob, sz in zip(blocks, outbufs, sizes):
+                r = lib.o_decompress(ob.raw[:sz], sz, decbuf, len(blk), 0)
+                if r < 0:
+                    lib = None
+                    break
+            ref_dec_dt = min(ref_dec_dt, time.time() - t0)
     assert restored == data, "default-config round-trip mismatch"
-    return {"enc_mbs": round(n / 1e6 / enc_dt, 2),
+
+    ours = {"enc_mbs": round(n / 1e6 / enc_dt, 2),
             "dec_mbs": round(n / 1e6 / dec_dt, 2),
             "bytes": sum(len(p) for p in payloads)}
+    ref = None
+    if lib is not None and decbuf.raw[: len(blocks[-1])] == blocks[-1]:
+        ref = {"enc_mbs": round(n / 1e6 / ref_enc_dt, 2),
+               "dec_mbs": round(n / 1e6 / ref_dec_dt, 2),
+               "bytes": sum(sizes)}
+    return ours, ref
 
 
 def measure_farm(data: bytes):
@@ -221,12 +215,11 @@ def main() -> None:
     data = make_corpus(CORPUS_MB * 1024 * 1024)
     B.init(C.DEFAULT_FEATURES)
 
-    ref = measure_reference(data)
+    default, ref = measure_default_vs_reference(data)
     base_enc = ref["enc_mbs"] if ref else PIN_ENC
     base_dec = ref["dec_mbs"] if ref else PIN_DEC
     base_bytes = ref["bytes"] if ref else PIN_BYTES
 
-    default = measure_default(data)
     farm = measure_farm(data)
 
     detail = {

@@ -12,6 +12,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 #include "rc.h"
 #include "cm.h"
@@ -22,6 +25,22 @@ using u8 = uint8_t;
 using u32 = uint32_t;
 
 constexpr int TBSC_NOT_COMPRESSIBLE = -3;
+
+// Advance past a run of byte c starting at `in` (exclusive of the first
+// byte, already consumed): 8-byte XOR probes, byte-exact landing.
+static inline const u8* skip_run(const u8* in, const u8* in_end, u8 c) {
+  const uint64_t pat = 0x0101010101010101ull * c;
+  while (in + 8 <= in_end) {
+    uint64_t x;
+    std::memcpy(&x, in, 8);
+    x ^= pat;
+    if (x) return in + (__builtin_ctzll(x) >> 3);
+    in += 8;
+  }
+  while (in < in_end && *in == c) ++in;
+  return in;
+}
+
 
 // ---------------------------------------------------------------------------
 // Model parameter families.  CP = counter params (threshold/rate pairs for
@@ -159,10 +178,10 @@ static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
   if (input[n - 1] == 0) { mtf[0] = 1; mtf[1] = 0; }
 
   int idx = n, n_sym = 0;
-  for (int i = n - 1; i >= 0;) {
-    u8 c = input[i--];
-    while (i >= 0 && input[i] == c) --i;
 
+  // move-to-front walk for one run's symbol; emits the rank (appearance
+  // index on first occurrence)
+  auto emit_run = [&](u8 c) {
     u8 prev = mtf[0];
     int rank = 1;
     mtf[0] = c;
@@ -175,6 +194,62 @@ static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
     }
     if (!seen[c]) { seen[c] = 1; rank = n_sym++; }
     buffer[--idx] = (u8)rank;
+  };
+
+  // Backward run iteration in chunks: run heads inside each chunk are found
+  // with a wide equality scan (input[i] != input[i+1] marks a head at i+1),
+  // collected forward, then consumed in reverse — this replaces the
+  // byte-at-a-time backward scan with ~n/32 vector steps.
+  enum { CHUNK = 1 << 14 };
+  int heads[CHUNK + 1];
+  int i = n - 1;        // last unprocessed position
+  u8 right = input[n - 1];  // symbol at i+1 during head detection
+  (void)right;
+  while (i >= 0) {
+    const int lo = (i + 1 >= CHUNK) ? i + 1 - CHUNK : 0;
+    // collect run-head positions h in (lo, i]: input[h] != input[h-1]
+    int nh = 0;
+#if defined(__AVX2__)
+    {
+      int h = lo + 1;
+      for (; h + 32 <= i + 1; h += 32) {
+        __m256i a = _mm256_loadu_si256((const __m256i*)(input + h));
+        __m256i b = _mm256_loadu_si256((const __m256i*)(input + h - 1));
+        u32 eq = (u32)_mm256_movemask_epi8(_mm256_cmpeq_epi8(a, b));
+        u32 ne = ~eq;
+        while (ne) {
+          int b0 = __builtin_ctz(ne);
+          heads[nh++] = h + b0;
+          ne &= ne - 1;
+        }
+      }
+      for (; h <= i; ++h)
+        if (input[h] != input[h - 1]) heads[nh++] = h;
+    }
+#else
+    for (int h = lo + 1; h <= i; ++h)
+      if (input[h] != input[h - 1]) heads[nh++] = h;
+#endif
+    heads[nh] = i + 1;  // sentinel: end of the chunk's last run
+
+    // consume runs of this chunk back-to-front; the run starting at lo may
+    // continue into the previous chunk — defer it unless lo == 0
+    for (int r = nh - 1; r >= 0; --r) {
+      emit_run(input[heads[r]]);
+    }
+    if (lo == 0) {
+      // head of the whole buffer: the run starting at 0
+      emit_run(input[0]);
+      break;
+    }
+    // continue with the tail of the run crossing the chunk boundary
+    int first_head = nh > 0 ? heads[0] : i + 1;
+    i = first_head - 1;
+    u8 c = input[i];
+    while (i >= 0 && input[i] == c) --i;
+    // i now sits on the last position of the previous run (or -1); the
+    // crossing run [i+1, first_head) is one run with symbol c
+    emit_run(c);
   }
   buffer[n - 1] = 1;
 
@@ -320,7 +395,7 @@ static int cm_encode(const u8* input, u8* output, u8* buffer, int isize, int osi
 
     int c = *in;
     const u8* run_start = in++;
-    while (in < in_end && *in == c) ++in;
+    in = skip_run(in, in_end, (u8)c);
     int run = (int)(in - run_start);
 
     int rank = *rk++;
@@ -513,7 +588,7 @@ static int cm_decode(const u8* input, u8* output, M1* m) {
     }
 
     // MTF table shift: entries 1..rank move up, current char sinks to `rank`.
-    for (int r = 0; r < rank; ++r) mtf[r] = mtf[r + 1];
+    std::memmove(mtf, mtf + 1, (size_t)rank);
     mtf[rank] = (u8)c;
 
     avg_rank = (avg_rank * 124 + rank * 4) >> 7;
@@ -559,7 +634,8 @@ static int cm_decode(const u8* input, u8* output, M1* m) {
     ctx_rank4 = ((ctx_rank4 << 2) | (rank < 3 ? rank : 3)) & 0xff;
     ctx_run = ((ctx_run << 1) | (run < 3 ? 1 : 0)) & 0xf;
 
-    for (; run > 0; --run) output[i++] = (u8)c;
+    std::memset(output + i, c, (size_t)run);
+    i += run;
   }
 
   return n;
@@ -591,7 +667,7 @@ static int fast_encode(const u8* input, u8* output, u8* buffer, int isize, int o
     u32 rank = *rk++;
     u32 c = *in;
     const u8* run_start = in++;
-    while (in < in_end && *in == c) ++in;
+    in = skip_run(in, in_end, (u8)c);
     u32 run = (u32)(in - run_start);
 
     {
@@ -708,7 +784,7 @@ static int fast_decode(const u8* input, u8* output, M2* m) {
           upd_shift<7>(b, pm[rank], 7999, 235);
           rank += rank + b;
         }
-        for (u32 r = 0; r < rank; ++r) mtf[r] = mtf[r + 1];
+        std::memmove(mtf, mtf + 1, (size_t)rank);
         mtf[rank] = (u8)c;
       } else {
         mtf[0] = mtf[1];
@@ -747,7 +823,8 @@ static int fast_decode(const u8* input, u8* output, M2* m) {
             run += run + b;
           }
         }
-        for (; run > 0; --run) *out++ = (u8)c;
+        std::memset(out, (int)c, (size_t)run);
+        out += run;
       } else {
         *out++ = (u8)c;
         upd_shift<5>(pr[0], 2025);
