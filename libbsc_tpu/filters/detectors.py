@@ -106,23 +106,32 @@ def detect_segments(data: np.ndarray, max_segments: int = 256) -> list[int]:
 def _estimate_contextsorder(buf: np.ndarray) -> int:
     """3-symbol rank model entropy (bsc_estimate_contextsorder, :314-358).
 
-    The MTF0/MTF1 chase is inherently sequential; done in a tight loop over
-    the (sub-sampled) buffer.
+    The MTF0/MTF1 chase has closed forms: after step i, mtf0 is always
+    buf[i], and mtf1 is the previous symbol DISTINCT from its neighbour
+    (carried across equal runs), so the whole classification vectorizes.
     """
-    freq = np.zeros((256, 3), dtype=np.int64)
-    mtf0, mtf1, mtfc = 0, 1, 0
-    for c in buf.tolist():
-        if c == mtf0:
-            freq[mtfc, 0] += 1
-            mtfc = (mtfc << 2) & 0xFF
-        else:
-            if c == mtf1:
-                freq[mtfc, 1] += 1
-                mtfc = ((mtfc << 2) | 1) & 0xFF
-            else:
-                freq[mtfc, 2] += 1
-                mtfc = ((mtfc << 2) | 2) & 0xFF
-            mtf1, mtf0 = mtf0, c
+    n = len(buf)
+    if n == 0:
+        return 0
+    c = buf.astype(np.int64)
+    prev = np.empty(n, dtype=np.int64)  # mtf0 before step i
+    prev[0] = 0
+    prev[1:] = c[:-1]
+    # mtf1 before step i: at steps where c != prev, mtf1 becomes prev; the
+    # initial value is 1
+    upd = c != prev
+    idx = np.where(upd, np.arange(n), -1)
+    last = np.maximum.accumulate(idx)
+    mtf1_after = np.where(last >= 0, prev[np.maximum(last, 0)], 1)
+    mtf1_before = np.empty(n, dtype=np.int64)
+    mtf1_before[0] = 1
+    mtf1_before[1:] = mtf1_after[:-1]
+    cls = np.where(c == prev, 0, np.where(c == mtf1_before, 1, 2))
+    # context = previous four classes packed two bits each (newest lowest)
+    clspad = np.concatenate([np.zeros(4, dtype=np.int64), cls])
+    mtfc = (clspad[3:-1] | (clspad[2:-2] << 2) | (clspad[1:-3] << 4)
+            | (clspad[0:-4] << 6))
+    freq = np.bincount(mtfc * 3 + cls, minlength=768).reshape(256, 3)
     counts = freq.sum(axis=1)
     return int(tables.entropy(counts).sum() - tables.entropy(freq).sum())
 

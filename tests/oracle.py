@@ -37,6 +37,9 @@ extern "C" int bsc_qlfc_adaptive_encode_block(const unsigned char*, unsigned cha
 extern "C" int bsc_qlfc_adaptive_decode_block(const unsigned char*, unsigned char*);
 extern "C" int bsc_qlfc_fast_encode_block(const unsigned char*, unsigned char*, int, int);
 extern "C" int bsc_qlfc_fast_decode_block(const unsigned char*, unsigned char*);
+extern "C" int bsc_detect_segments(const unsigned char*, int, int*, int, int);
+extern "C" int bsc_detect_contextsorder(const unsigned char*, int, int);
+extern "C" int bsc_detect_recordsize(const unsigned char*, int, int);
 
 extern "C" {
 int o_init(int f){ return bsc_init(f); }
@@ -62,6 +65,9 @@ int o_qlfc_decode(const unsigned char* i, unsigned char* o, int kind){
   if (kind==2) return bsc_qlfc_adaptive_decode_block(i,o);
   return bsc_qlfc_fast_decode_block(i,o);
 }
+int o_detect_segments(const unsigned char* i, int n, int* out, int maxseg, int f){ return bsc_detect_segments(i,n,out,maxseg,f); }
+int o_detect_contextsorder(const unsigned char* i, int n, int f){ return bsc_detect_contextsorder(i,n,f); }
+int o_detect_recordsize(const unsigned char* i, int n, int f){ return bsc_detect_recordsize(i,n,f); }
 }
 """
 

@@ -68,3 +68,60 @@ def test_detect_contextsorder_returns_valid(rng):
         C.CONTEXTS_FOLLOWING,
         C.CONTEXTS_PRECEDING,
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle parity: the detectors must make the SAME DECISIONS as the reference
+# (bsc_detect_segments / _contextsorder / _recordsize) across diverse corpora.
+# ---------------------------------------------------------------------------
+
+def _parity_corpora(rng):
+    """>= 20 corpora exercising all three detectors' decision space."""
+    from tests.conftest import make_corpus
+
+    out = []
+    for kind in ("text", "random", "runs", "zeros", "periodic"):
+        out.append(make_corpus(rng, 200_000, kind))
+        out.append(make_corpus(rng, 50_001, kind))
+    # heterogeneous mixes (segmentation boundaries)
+    out.append(make_corpus(rng, 120_000, "text") + make_corpus(rng, 130_000, "random"))
+    out.append(make_corpus(rng, 60_000, "zeros") + make_corpus(rng, 90_000, "text")
+               + make_corpus(rng, 70_000, "runs"))
+    out.append(make_corpus(rng, 30_000, "random") + make_corpus(rng, 200_000, "zeros"))
+    # record-structured data (record sizes 2..4)
+    for rs in (2, 3, 4):
+        n = 150_000 - (150_000 % rs)
+        rec = np.zeros(n, dtype=np.uint8)
+        for k in range(rs):
+            base = rng.integers(0, 200)
+            rec[k::rs] = (base + rng.integers(0, 3, size=n // rs)).astype(np.uint8)
+        out.append(rec.tobytes())
+    # reversed text (preceding contexts should win sometimes)
+    out.append(make_corpus(rng, 180_000, "text")[::-1])
+    out.append((make_corpus(rng, 90_000, "text")[::-1]) * 2)
+    # structured binary: ascending u32 counters (record-size 4 material)
+    out.append(np.arange(40_000, dtype=">u4").tobytes())
+    out.append(np.arange(40_000, dtype="<u4").tobytes())
+    return out
+
+
+def test_detectors_match_reference_decisions(rng, oracle):
+    import ctypes
+
+    corpora = _parity_corpora(rng)
+    assert len(corpora) >= 20
+    segbuf = (ctypes.c_int * 256)()
+    for i, blob in enumerate(corpora):
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        n = len(blob)
+
+        nseg = oracle.o_detect_segments(blob, n, segbuf, 256, 0)
+        assert nseg > 0
+        ref_segs = list(segbuf[:nseg])
+        assert detectors.detect_segments(arr) == ref_segs, f"segments differ on corpus {i}"
+
+        ref_ctx = oracle.o_detect_contextsorder(blob, n, 0)
+        assert detectors.detect_contextsorder(arr) == ref_ctx, f"contexts differ on corpus {i}"
+
+        ref_rs = oracle.o_detect_recordsize(blob, n, 0)
+        assert detectors.detect_recordsize(arr) == ref_rs, f"recordsize differs on corpus {i}"
