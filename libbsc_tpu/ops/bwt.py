@@ -1,31 +1,47 @@
 """Burrows-Wheeler transform on device.
 
-Forward: suffix-array construction by **prefix doubling** — the same
-algorithmic family as the reference GPU implementation (libcubwt.cu:2031-2225
-iterates rank-and-segment + segmented radix sorts until fully ranked) but
-expressed in XLA primitives: each doubling round is one stable
-`lax.sort(num_keys=2)` over (rank[i], rank[i+k]) pairs plus a cumulative-sum
-re-rank, run under `lax.while_loop` with an all-distinct early exit.
+Forward: suffix-array construction by **prefix doubling** — the algorithmic
+family of the reference GPU implementation (libcubwt.cu:2031-2225 iterates
+rank-and-segment + segmented sorts until fully ranked) — shaped for XLA/TPU:
+
+- measured on-chip (v5e, 16M elements): `lax.sort` 0.07-0.13 s, roll 0.024 s,
+  cumsum 0.027 s, but gather 0.17 s and scatter 0.14 s.  Every round is
+  therefore built from sorts/rolls/scans only: `rank[i+k]` is a dynamic
+  `jnp.roll` (never a gather), and the inverse permutation comes from a
+  second 1-key sort (never a scatter).
+- the bootstrap sorts the first 16 bytes directly (4 u32 words + a
+  remaining-length tiebreak) instead of starting from single-byte ranks,
+  eliminating two doubling rounds.
+- ranks use the group-start (Karkkainen-Sanders) convention, so a partial
+  re-rank of one group is `group_base + local_offset` — this is what makes
+  the segmented variant below possible.
+- `suffix_array_fast` (host-driven) mirrors libcubwt's "sort only the
+  unresolved segments" (libcubwt.cu:1475-1702): once the unresolved fraction
+  drops below a threshold, each round gathers the unresolved positions into
+  a padded bucket from a fixed ladder (few XLA programs), sorts just those,
+  re-ranks them in place, and scatters the ranks back.  Text-like data
+  resolves almost everything by depth 32, so the tail rounds are tiny.
 
 Stream convention (verified against libsais via the native runtime,
-native/bwt.cc:190-225, reference bwt/bwt.cpp:178-230):
+native/bwt.cc, reference bwt/bwt.cpp:178-230):
   U[0] = T[n-1]; U[1..] = T[SA[j]-1] for ranks j skipping suffix 0;
   primary index = rank(suffix 0) + 1;
   aux indexes (rate r = 2^floor(log2(n/8))): indexes[t] = rank(suffix (t+1)r).
 
-Inverse: the serial LF chase (libsais.c:7285-7543 runs 8-16 chains from the
-aux indexes) does not map to TPU — a chain step is a dependent scalar gather.
-Instead the whole permutation is *list-ranked* by pointer doubling: break
-the LF cycle at the head row, then log2(n) rounds of `dist += dist[pred];
-pred = pred[pred]` give every row its distance from the head, and one
-scatter materializes the output. O(n log n) gather traffic, fully parallel.
+Inverse: the serial LF chase does not map to TPU (a chain step is a
+dependent scalar gather); the permutation is list-ranked by pointer doubling
+instead — O(n log n) gather traffic, fully parallel.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+_IMAX = jnp.int32(2**31 - 1)
 
 
 def aux_rate(n: int) -> int:
@@ -44,86 +60,211 @@ def _log2_ceil(n: int) -> int:
     return max(1, (n - 1).bit_length())
 
 
-@jax.jit
-def suffix_array(data: jax.Array):
-    """Suffix array + inverse (ranks) of uint8[n] via prefix doubling.
+# ---------------------------------------------------------------------------
+# shared round pieces (all sort/roll/scan — no gathers or scatters)
+# ---------------------------------------------------------------------------
 
-    Bootstraps at depth 8 with one two-word lexicographic byte sort
-    (saving three doubling rounds vs single-byte ranks).  Out-of-range
-    bytes pad with 0, which may conflate a suffix end with real 0x00
-    bytes at this depth — safe, because equal initial ranks only defer
-    the decision, and the next round's rank[i+8] = -1 for exhausted
-    suffixes orders them correctly.
+def _bootstrap(data: jax.Array):
+    """Depth-16 bootstrap: sort on 4 big-endian u32 words + remaining length.
+
+    Returns (rank, unresolved_mask) in position order, rank in group-start
+    convention.  The remaining-length key resolves suffix-prefix ties (a
+    shorter suffix that is a prefix of a longer one sorts first and no later
+    round could separate them, as both windows run off the end).
     """
     n = data.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-
     d32 = data.astype(jnp.uint32)
 
     def pbyte(j: int) -> jax.Array:
-        # data[i + j] with zero padding past the end (static shift)
-        return jnp.where(idx + j < n,
-                         jnp.roll(d32, -j),
-                         0)
+        return jnp.where(idx + j < n, jnp.roll(d32, -j), 0)
 
-    hi = jnp.zeros(n, dtype=jnp.uint32)
-    lo = jnp.zeros(n, dtype=jnp.uint32)
-    for j in range(4):
-        hi = (hi << 8) | pbyte(j)
-        lo = (lo << 8) | pbyte(j + 4)
+    words = []
+    for w in range(4):
+        acc = jnp.zeros(n, dtype=jnp.uint32)
+        for j in range(4):
+            acc = (acc << 8) | pbyte(4 * w + j)
+        words.append(acc)
+    rem = jnp.minimum(n - idx, 16).astype(jnp.uint32)
 
-    # Remaining-length key (clamped to 8): when two zero-padded windows are
-    # equal and BOTH suffixes end inside the window, no later round can
-    # separate them (both rank[i+8] are out of range); the shorter suffix is
-    # a prefix of the longer and must rank first.
-    rem = jnp.minimum(n - idx, 8).astype(jnp.uint32)
-    hi_s, lo_s, rem_s, pos_s = lax.sort((hi, lo, rem, idx), num_keys=3,
-                                        is_stable=True)
-    head = jnp.concatenate([
-        jnp.zeros(1, dtype=jnp.int32),
-        ((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
-         | (rem_s[1:] != rem_s[:-1])).astype(jnp.int32),
+    sorted_all = lax.sort(tuple(words) + (rem, idx), num_keys=5,
+                          is_stable=True)
+    pos_s = sorted_all[-1]
+    heads = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
+    for col in sorted_all[:-1]:
+        heads = heads | jnp.concatenate(
+            [jnp.ones(1, dtype=jnp.bool_), col[1:] != col[:-1]])
+    return _rank_mask_to_position_order(heads, pos_s, n)
+
+
+def _rank_mask_to_position_order(heads: jax.Array, pos_s: jax.Array, n: int):
+    """From sorted-order group heads + the sorted->position permutation,
+    build position-ordered (group-start ranks, unresolved mask) with one
+    1-key sort (no scatter)."""
+    pos = jnp.arange(n, dtype=jnp.int32)
+    gstart = lax.cummax(jnp.where(heads, pos, -1))
+    nxt_head = jnp.concatenate([heads[1:], jnp.ones(1, dtype=jnp.bool_)])
+    unresolved = ~(heads & nxt_head)
+    _, rank, mask = lax.sort(
+        (pos_s, gstart, unresolved.astype(jnp.int32)), num_keys=1,
+        is_stable=True)
+    return rank, mask.astype(jnp.bool_)
+
+
+def _full_round(rank: jax.Array, k: jax.Array, n: int):
+    """One doubling round over all n elements (sorts + rolls only)."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    r2 = jnp.where(idx + k < n, jnp.roll(rank, -k), -1)
+    r1s, r2s, pos_s = lax.sort((rank, r2, idx), num_keys=2, is_stable=True)
+    heads = jnp.concatenate([
+        jnp.ones(1, dtype=jnp.bool_),
+        (r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1]),
     ])
-    rank_sorted = jnp.cumsum(head, dtype=jnp.int32)
-    rank = jnp.zeros(n, dtype=jnp.int32).at[pos_s].set(rank_sorted)
+    rank, mask = _rank_mask_to_position_order(heads, pos_s, n)
+    return rank, mask, jnp.sum(mask.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# traceable variant (usable under vmap/shard_map): full rounds in a while_loop
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def suffix_array(data: jax.Array):
+    """Suffix array + ranks (ISA) of uint8[n] via prefix doubling; fully
+    traceable (vmap/shard_map-safe)."""
+    n = data.shape[0]
+    rank, mask = _bootstrap(data)
 
     def round_body(state):
-        rank, k, _ = state
-        # rank of suffix i+k; exhausted suffixes compare smallest
-        rank2 = jnp.where(idx + k < n, rank[jnp.minimum(idx + k, n - 1)], -1)
-        r1s, r2s, pos_s = lax.sort((rank, rank2, idx), num_keys=2,
-                                   is_stable=True)
-        head = jnp.concatenate([
-            jnp.zeros(1, dtype=jnp.int32),
-            ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
-        ])
-        new_rank_sorted = jnp.cumsum(head, dtype=jnp.int32)
-        new_rank = jnp.zeros(n, dtype=jnp.int32).at[pos_s].set(new_rank_sorted)
-        done = new_rank_sorted[-1] == n - 1
-        return new_rank, k * 2, done
+        rank, mask, k, _ = state
+        rank, mask, cnt = _full_round(rank, k, n)
+        return rank, mask, k * 2, cnt == 0
 
     def cond(state):
-        _, k, done = state
+        _, _, k, done = state
         return (~done) & (k < 2 * n)
 
-    # `done` is data-derived so its varying-axes type matches the loop
-    # output under shard_map; the depth-8 bootstrap may already be fully
-    # ranked.
-    rank, _, _ = lax.while_loop(
+    rank, _, _, _ = lax.while_loop(
         cond, round_body,
-        (rank, jnp.int32(8), rank_sorted[-1] == n - 1))
-    # one extra re-rank in case the initial byte ranks were already distinct
-    # is unnecessary: while_loop ran at least once unless n tiny
-    sa = jnp.zeros(n, dtype=jnp.int32).at[rank].set(idx)
+        (rank, mask, jnp.int32(16), jnp.sum(mask.astype(jnp.int32)) == 0))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, sa = lax.sort((rank, idx), num_keys=1, is_stable=True)
     return sa, rank
 
 
-def bwt_encode(data: jax.Array):
-    """Forward BWT of uint8[n].
+# ---------------------------------------------------------------------------
+# host-driven variant: bucketed tail rounds over unresolved segments only
+# ---------------------------------------------------------------------------
 
-    Returns (U uint8[n], primary int32, aux int32[(n-1)//r]) with the
-    reference's stream convention.  The aux array length is static (shape
-    depends only on n).
+@partial(jax.jit, static_argnames=("m_pad",))
+def _bucket_round(rank: jax.Array, mask: jax.Array, k: jax.Array,
+                  m_pad: int):
+    """One doubling round restricted to the unresolved positions, padded to
+    the static bucket size m_pad (pads sort last and scatter out of range)."""
+    n = rank.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    r2full = jnp.where(idx + k < n, jnp.roll(rank, -k), -1)
+
+    uidx = jnp.nonzero(mask, size=m_pad, fill_value=n)[0].astype(jnp.int32)
+    valid = uidx < n
+    r1 = jnp.where(valid, jnp.take(rank, uidx, mode="fill", fill_value=0),
+                   _IMAX)
+    r2 = jnp.take(r2full, uidx, mode="fill", fill_value=0)
+
+    r1s, r2s, uidx_s = lax.sort((r1, r2, uidx), num_keys=2, is_stable=True)
+    pos = jnp.arange(m_pad, dtype=jnp.int32)
+    h1 = jnp.concatenate([jnp.ones(1, dtype=jnp.bool_),
+                          r1s[1:] != r1s[:-1]])
+    h12 = h1 | jnp.concatenate([jnp.ones(1, dtype=jnp.bool_),
+                                r2s[1:] != r2s[:-1]])
+    s1 = lax.cummax(jnp.where(h1, pos, -1))
+    s12 = lax.cummax(jnp.where(h12, pos, -1))
+    new_rank = r1s + (s12 - s1)
+    nxt_h12 = jnp.concatenate([h12[1:], jnp.ones(1, dtype=jnp.bool_)])
+    still = ~(h12 & nxt_h12) & (uidx_s < n)
+
+    rank = rank.at[uidx_s].set(new_rank, mode="drop")
+    mask = mask.at[uidx_s].set(still, mode="drop")
+    return rank, mask, jnp.sum(still.astype(jnp.int32))
+
+
+@jax.jit
+def _bootstrap_counted(data: jax.Array):
+    rank, mask = _bootstrap(data)
+    return rank, mask, jnp.sum(mask.astype(jnp.int32))
+
+
+@jax.jit
+def _full_round_counted(rank: jax.Array, k: jax.Array):
+    return _full_round(rank, k, rank.shape[0])
+
+
+def _bucket_ladder(n: int):
+    """Static bucket sizes (few distinct XLA programs per n)."""
+    out = []
+    m = max(n // 4, 1)
+    while m > 4096:
+        out.append(m)
+        m //= 4
+    out.append(m)
+    return out
+
+
+def suffix_array_fast(data: jax.Array):
+    """Host-driven suffix array: full rounds while most positions are
+    unresolved, then bucketed rounds over the unresolved segments only
+    (libcubwt.cu:1475-1702's strategy in XLA shapes).  Not traceable.
+
+    Measured (v5e, 16 MB bench block): 16.6 MB/s on-chip vs 27.7 MB/s for
+    the fused traceable variant — each round costs a device->host count
+    round-trip, and over this harness's remote tunnel (~50-100 ms RTT) the
+    sync overhead exceeds the savings from the smaller sorts.  On a
+    co-located TPU host the trade flips; the engine uses the traceable
+    variant by default."""
+    n = int(data.shape[0])
+    ladder = _bucket_ladder(n)
+    rank, mask, cnt = _bootstrap_counted(data)
+    cnt = int(cnt)
+    k = 16
+    while cnt > 0 and k < 2 * n:
+        if cnt > n // 4:
+            rank, mask, cnt_d = _full_round_counted(rank, jnp.int32(k))
+        else:
+            m_pad = next((m for m in reversed(ladder) if m >= cnt), ladder[0])
+            rank, mask, cnt_d = _bucket_round(rank, mask, jnp.int32(k), m_pad)
+        cnt = int(cnt_d)
+        k *= 2
+    return rank
+
+
+# ---------------------------------------------------------------------------
+# BWT wrappers
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _extract_bwt(data: jax.Array, rank: jax.Array):
+    """U + primary + aux from position-ordered ranks, gather-free: one 1-key
+    sort carries T[i-1] into rank order, and the primary-row deletion is a
+    select between the array and its roll."""
+    n = data.shape[0]
+    prevbyte = jnp.roll(data, 1)  # T[i-1]; at i=0 this is T[n-1] (= row r0)
+    _, A = lax.sort((rank, prevbyte), num_keys=1, is_stable=True)
+    r0 = rank[0]
+    w = jnp.arange(n, dtype=jnp.int32)
+    U = jnp.where(w <= r0, jnp.roll(A, 1), A)
+    U = U.at[0].set(A[r0])
+
+    r = aux_rate(n)
+    n_aux = (n - 1) // r
+    aux = rank[(jnp.arange(n_aux, dtype=jnp.int32) + 1) * r]
+    return U, r0 + 1, aux
+
+
+def bwt_encode(data: jax.Array):
+    """Forward BWT of uint8[n] (traceable pipeline).
+
+    Returns (U uint8[n], primary int32, aux int32[(n-1)//r]) in the
+    reference's stream convention.
     """
     n = data.shape[0]
     if n <= 1:
@@ -133,20 +274,17 @@ def bwt_encode(data: jax.Array):
 
 @jax.jit
 def _bwt_encode_jit(data: jax.Array):
-    n = data.shape[0]
-    sa, isa = suffix_array(data)
-    r0 = isa[0]
+    _, rank = suffix_array(data)
+    return _extract_bwt(data, rank)
 
-    # U[0] = T[n-1]; U[w>=1] = T[SA[j]-1] with j = w-1 (+1 once past r0)
-    vals = data[jnp.maximum(sa - 1, 0)]
-    w = jnp.arange(1, n, dtype=jnp.int32)
-    j = jnp.where(w - 1 < r0, w - 1, w)
-    U = jnp.concatenate([data[n - 1:n], vals[j]])
 
-    r = aux_rate(n)
-    n_aux = (n - 1) // r
-    aux = isa[(jnp.arange(n_aux, dtype=jnp.int32) + 1) * r]
-    return U, r0 + 1, aux
+def bwt_encode_fast(data: jax.Array):
+    """Forward BWT via the host-driven segmented suffix sort (engine path)."""
+    n = int(data.shape[0])
+    if n <= 1:
+        return data, jnp.int32(n), jnp.zeros(0, dtype=jnp.int32)
+    rank = suffix_array_fast(data)
+    return _extract_bwt(data, rank)
 
 
 def bwt_decode(data: jax.Array, index: jax.Array):

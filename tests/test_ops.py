@@ -89,3 +89,21 @@ def test_bwt_decode_native_stream(rng):
     primary, _, _ = engine.bwt_encode(ref, 0)
     dec = bwt_decode(jnp.asarray(ref), primary)
     np.testing.assert_array_equal(np.asarray(dec), d)
+
+
+@pytest.mark.parametrize("kind", ["text", "random", "runs", "zeros", "periodic"])
+@pytest.mark.parametrize("n", [1, 2, 255, 4096, 65537, 1 << 20])
+def test_bwt_encode_fast_matches_native(rng, n, kind):
+    """Host-driven segmented prefix doubling (bucketed unresolved re-sort)
+    must agree with the native BWT bit-for-bit, aux indexes included."""
+    from libbsc_tpu.ops.bwt import bwt_encode_fast
+
+    d = np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8)
+    U, primary, aux = bwt_encode_fast(jnp.asarray(d))
+    ref = d.copy()
+    ref_primary, ref_ni, ref_idx = engine.bwt_encode(ref, 0)
+    assert int(primary) == ref_primary
+    assert np.array_equal(np.asarray(U), ref)
+    assert aux.shape[0] == ref_ni
+    if ref_ni:
+        assert np.array_equal(np.asarray(aux), ref_idx[:ref_ni])
