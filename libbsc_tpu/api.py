@@ -168,8 +168,14 @@ def compress(
         num_indexes = 0
 
     # Entropy coding
-    with stage("coder_compress", len(lz)):
-        payload = engine.coder_compress(lz, coder, features)
+    if coder == C.CODER_QLFC_WIDE:
+        from .ops import wide
+
+        with stage("coder_compress_wide", len(lz)):
+            payload = wide.wide_encode(bytes(lz.tobytes()))
+    else:
+        with stage("coder_compress", len(lz)):
+            payload = engine.coder_compress(lz, coder, features)
     if payload is None or len(payload) + 1 + 4 * num_indexes >= n:
         return store(data)
 
@@ -218,11 +224,17 @@ def decompress(block: bytes, expected_size: int | None = None) -> bytes:
     coder = (h.mode >> 5) & 0x7
     block_sorter = h.mode & 0x1F
 
-    with stage("coder_decompress", len(payload)):
-        lz = engine.coder_decompress(
-            np.frombuffer(payload, dtype=np.uint8), coder, features,
-            capacity=h.data_size + 4096,
-        )
+    if coder == C.CODER_QLFC_WIDE:
+        from .ops import wide
+
+        with stage("coder_decompress_wide", len(payload)):
+            lz = np.frombuffer(wide.wide_decode(payload), dtype=np.uint8)
+    else:
+        with stage("coder_decompress", len(payload)):
+            lz = engine.coder_decompress(
+                np.frombuffer(payload, dtype=np.uint8), coder, features,
+                capacity=h.data_size + 4096,
+            )
     if isinstance(lz, int):
         raise BscError(lz, _ERROR_NAMES.get(lz, str(lz)))
 

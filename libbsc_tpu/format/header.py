@@ -32,11 +32,13 @@ from ..constants import (
     CODER_QLFC_STATIC,
     CODER_QLFC_ADAPTIVE,
     CODER_QLFC_FAST,
+    CODER_QLFC_WIDE,
 )
 from ..utils.adler32 import adler32
 
 _VALID_SORTERS = {BLOCKSORTER_BWT} | set(range(BLOCKSORTER_ST3, BLOCKSORTER_ST8 + 1))
-_VALID_CODERS = {CODER_QLFC_STATIC, CODER_QLFC_ADAPTIVE, CODER_QLFC_FAST}
+_VALID_CODERS = {CODER_QLFC_STATIC, CODER_QLFC_ADAPTIVE, CODER_QLFC_FAST,
+                 CODER_QLFC_WIDE}
 
 
 @dataclass(frozen=True)

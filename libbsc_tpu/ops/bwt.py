@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_IMAX = jnp.int32(2**31 - 1)
+_IMAX = 2**31 - 1  # plain int: no backend init at import time
 
 
 def aux_rate(n: int) -> int:

@@ -1,0 +1,444 @@
+"""CODER_QLFC_WIDE: the wide-lane entropy profile (format extension).
+
+The serial QLFC bitstream is the last host-bound stage; the reference's own
+sub-block directory (coder.cpp:52-155) proves lanes are format-compatible,
+but caps them at 8.  This profile is a NEW coder id (4) with hundreds to
+thousands of lanes designed for lockstep execution on a TPU:
+
+  payload := u32 isize | u16 n_lanes | u16 reserved(0)
+           | u32 n_units | u16 stream[n_units]   (little-endian)
+
+- The block is split into n_lanes equal chunks (the last one short); each
+  lane is an independent MTF+rank/run coder starting from the identity MTF
+  table and a fresh model (model reset per lane is the reference's own
+  sub-block semantics).
+- Per run: flag bit "rank != 0"; if set, the rank's bit-length is coded in
+  unary (capped at 8) followed by the mantissa bits; then flag "run != 1";
+  if set, the run length's bit-length in unary (capped at 25) + mantissa.
+  64 adaptive contexts total (see _CTX_*); probabilities are 12-bit with
+  shift-by-5 updates (p += (4096-p)>>5 on a zero bit, p -= p>>5 on one).
+- The range coder is CARRY-LESS (range clamping at u16 boundaries): exactly
+  one u16 is emitted per renormalization, which makes the per-lane emission
+  cadence lockstep-friendly.  Two flush units terminate each lane.
+- The stream is laid out in DECODER CONSUMPTION ORDER — the standard
+  interleaved-entropy-lane layout: first two warm-up units per (non-empty)
+  lane in lane order, then one unit per renormalization event in
+  (iteration, lane) order, where the unit delivered at a lane's r-th
+  renormalization is the lane's (r+2)-th produced unit (the final two
+  refills of a lane consume its flush units).  The decoder therefore reads
+  one sequential stream and distributes units to the lanes that
+  renormalize each iteration; no per-lane cursors exist in the format.
+
+Old decoders reject coder id 4 via mode-word validation (libbsc.cpp:362-402
+equivalent), so bsc-compatible configs are untouched.
+
+This module holds the format reference implementation (numpy, lockstep over
+lanes — the iteration structure mirrors the device kernels) plus the
+device path.  `wide_encode`/`wide_decode` are the engine entry points.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# spec constants
+# ---------------------------------------------------------------------------
+
+NCTX = 192
+_CTX_RANK_FLAG = 0    # +hist4 (last four rank flags): 0..15
+_CTX_RANK_EXP = 16    # + (t-1) + 7*prev_brs_bucket(0..2): 16..36
+_CTX_RANK_MAN = 37    # + position 0..6: 37..43
+_CTX_RUN_FLAG = 44    # +hist4 (last four run flags): 44..59
+_CTX_RUN_EXP = 60     # + (t-1) + 24*prev_run_bucket(0..2): 60..131
+_CTX_RUN_MAN = 132    # + position capped at 23: 132..155
+
+
+def _bucket3(brs: int) -> int:
+    if brs <= 1:
+        return 0
+    if brs <= 3:
+        return 1
+    return 2
+
+RANK_EXP_CAP = 8      # bit_length(rank) in [1, 8]
+RUN_EXP_CAP = 25      # bit_length(run) in [2, 25] -> lane chunk < 2^25
+
+P_INIT = 2048
+P_BITS = 12
+ADAPT_SHIFT = 5
+
+MAX_LANES = 65535
+DEFAULT_LANES = 1024
+
+
+def lane_sizes(isize: int, n_lanes: int) -> list[int]:
+    chunk = -(-isize // n_lanes)  # ceil
+    sizes = []
+    left = isize
+    for _ in range(n_lanes):
+        s = min(chunk, left)
+        sizes.append(s)
+        left -= s
+    return sizes
+
+
+def pick_lanes(isize: int) -> int:
+    """Lane count: DEFAULT_LANES, reduced for small blocks so each lane has
+    at least ~4 KiB to amortize its model warm-up."""
+    lanes = DEFAULT_LANES
+    while lanes > 1 and isize // lanes < 4096:
+        lanes //= 2
+    # run lengths must fit the exponent cap
+    while -(-isize // lanes) >= (1 << RUN_EXP_CAP):
+        lanes *= 2
+    return min(lanes, MAX_LANES)
+
+
+# ---------------------------------------------------------------------------
+# reference implementation (numpy, lane-lockstep like the device kernels)
+# ---------------------------------------------------------------------------
+
+class _RcEnc:
+    """Carry-less range coder, one u16 per renormalization."""
+
+    __slots__ = ("low", "rng", "out")
+
+    def __init__(self):
+        self.low = 0
+        self.rng = 0xFFFFFFFF
+        self.out = []  # list of (iteration, unit) filled by the driver
+
+    def encode(self, bit: int, p: int) -> bool:
+        """Returns True when a unit was emitted (renormalization)."""
+        r = (self.rng >> P_BITS) * p
+        if bit:
+            self.low = (self.low + r) & 0xFFFFFFFF
+            self.rng -= r
+        else:
+            self.rng = r
+        if self.rng < (1 << 16):
+            if ((self.low ^ (self.low + self.rng - 1)) >> 16) != 0:
+                self.rng = 0x10000 - (self.low & 0xFFFF)  # clamp to boundary
+            self.out.append((self.low >> 16) & 0xFFFF)
+            self.low = (self.low << 16) & 0xFFFFFFFF
+            self.rng = (self.rng << 16) & 0xFFFFFFFF
+            return True
+        return False
+
+    def flush(self):
+        for _ in range(2):
+            self.out.append((self.low >> 16) & 0xFFFF)
+            self.low = (self.low << 16) & 0xFFFFFFFF
+
+
+class _RcDec:
+    __slots__ = ("low", "rng", "code")
+
+    def __init__(self, u0: int, u1: int):
+        self.low = 0
+        self.rng = 0xFFFFFFFF
+        self.code = (u0 << 16) | u1
+
+    def decode(self, p: int) -> tuple[int, bool]:
+        """Returns (bit, needs_refill); on needs_refill the caller must call
+        refill(unit) before the next decode."""
+        r = (self.rng >> P_BITS) * p
+        if ((self.code - self.low) & 0xFFFFFFFF) < r:
+            bit = 0
+            self.rng = r
+        else:
+            bit = 1
+            self.low = (self.low + r) & 0xFFFFFFFF
+            self.rng -= r
+        if self.rng < (1 << 16):
+            if ((self.low ^ (self.low + self.rng - 1)) >> 16) != 0:
+                self.rng = 0x10000 - (self.low & 0xFFFF)
+            self.low = (self.low << 16) & 0xFFFFFFFF
+            self.rng = (self.rng << 16) & 0xFFFFFFFF
+            return bit, True
+        return bit, False
+
+    def refill(self, unit: int):
+        self.code = ((self.code << 16) | unit) & 0xFFFFFFFF
+
+
+def _upd(p: int, bit: int) -> int:
+    if bit:
+        return p - (p >> ADAPT_SHIFT)
+    return p + ((4096 - p) >> ADAPT_SHIFT)
+
+
+def _lane_bits(chunk: np.ndarray):
+    """(ctx, bit) sequence for one lane (the executable bit schedule)."""
+    mtf = list(range(256))
+    out = []
+    i = 0
+    n = len(chunk)
+    rhist = 0   # last four rank flags
+    uhist = 0   # last four run flags
+    prev_rb = 0  # previous rank's bit-length bucket
+    prev_ub = 0  # previous run's bit-length bucket
+    while i < n:
+        c = int(chunk[i])
+        j = i + 1
+        while j < n and int(chunk[j]) == c:
+            j += 1
+        run = j - i
+        i = j
+        rank = mtf.index(c)
+        mtf.pop(rank)
+        mtf.insert(0, c)
+        rf = 1 if rank != 0 else 0
+        out.append((_CTX_RANK_FLAG + rhist, rf))
+        rhist = ((rhist << 1) | rf) & 0xF
+        if rank:
+            brs = rank.bit_length()
+            base = _CTX_RANK_EXP + 7 * prev_rb
+            for t in range(1, min(brs, RANK_EXP_CAP)):
+                out.append((base + t - 1, 1))
+            if brs < RANK_EXP_CAP:
+                out.append((base + brs - 1, 0))
+            for t in range(brs - 2, -1, -1):
+                out.append((_CTX_RANK_MAN + (brs - 2 - t), (rank >> t) & 1))
+            prev_rb = _bucket3(brs)
+        else:
+            prev_rb = 0
+        uf = 1 if run != 1 else 0
+        out.append((_CTX_RUN_FLAG + uhist, uf))
+        uhist = ((uhist << 1) | uf) & 0xF
+        if run != 1:
+            brs = run.bit_length()
+            base = _CTX_RUN_EXP + 24 * prev_ub
+            for t in range(1, min(brs, RUN_EXP_CAP)):
+                out.append((base + t - 1, 1))
+            if brs < RUN_EXP_CAP:
+                out.append((base + brs - 1, 0))
+            for t in range(brs - 2, -1, -1):
+                out.append((_CTX_RUN_MAN + min(brs - 2 - t, 23),
+                            (run >> t) & 1))
+            prev_ub = _bucket3(brs)
+        else:
+            prev_ub = 0
+    return out
+
+
+def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
+    """Reference encoder.  Returns the payload bytes, or None when the
+    result would not be smaller than the input."""
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    isize = len(buf)
+    if isize == 0:
+        return None
+    L = n_lanes or pick_lanes(isize)
+    sizes = lane_sizes(isize, L)
+
+    # per-lane bit schedules
+    schedules = []
+    off = 0
+    for s in sizes:
+        schedules.append(_lane_bits(buf[off:off + s]) if s else [])
+        off += s
+
+    # lockstep simulation: iteration i codes bit i of every live lane.
+    # Per-lane unit queues + the renorm event list let us assemble the
+    # stream in decoder consumption order afterwards.
+    lanes = [_RcEnc() for _ in range(L)]
+    probs = [[P_INIT] * NCTX for _ in range(L)]
+    events: list[int] = []  # lane of each renorm, in (iteration, lane) order
+    max_bits = max((len(s) for s in schedules), default=0)
+    for it in range(max_bits):
+        for k in range(L):
+            sched = schedules[k]
+            if it < len(sched):
+                ctx, bit = sched[it]
+                p = probs[k][ctx]
+                if lanes[k].encode(bit, p):
+                    events.append(k)
+                probs[k][ctx] = _upd(p, bit)
+    for k in range(L):
+        if schedules[k]:
+            lanes[k].flush()
+
+    # assemble in decoder consumption order: warm-up (2 units per non-empty
+    # lane, lane order), then queue[r+2] at each lane's r-th renorm event
+    stream: list[int] = []
+    next_unit = [0] * L
+    for k in range(L):
+        if schedules[k]:
+            stream.extend(lanes[k].out[0:2])
+            next_unit[k] = 2
+    for k in events:
+        stream.append(lanes[k].out[next_unit[k]])
+        next_unit[k] += 1
+    for k in range(L):
+        assert next_unit[k] == len(lanes[k].out), (k, next_unit[k],
+                                                   len(lanes[k].out))
+
+    payload = struct.pack("<IHHI", isize, L, 0, len(stream))
+    payload += np.asarray(stream, dtype="<u2").tobytes()
+    if len(payload) >= isize:
+        return None
+    return payload
+
+
+def wide_decode_ref(payload: bytes) -> bytes:
+    isize, L, _pad, n_units = struct.unpack_from("<IHHI", payload, 0)
+    stream = np.frombuffer(payload, dtype="<u2", count=n_units, offset=12)
+    sizes = lane_sizes(isize, L)
+    return _decode_lockstep(isize, L, sizes, stream)
+
+
+def _decode_lockstep(isize, L, sizes, body) -> bytes:
+    # The stream is already in consumption order: warm-up (2 per non-empty
+    # lane), then one unit per renormalization in (iteration, lane) order.
+    out = np.zeros(isize, dtype=np.uint8)
+    offs = np.cumsum([0] + sizes[:-1])
+
+    decs: list[_RcDec | None] = [None] * L
+    probs = [[P_INIT] * NCTX for _ in range(L)]
+    mtfs = [list(range(256)) for _ in range(L)]
+    # decode state machine per lane
+    PH_RFLAG, PH_REXP, PH_RMAN, PH_UFLAG, PH_UEXP, PH_UMAN, PH_DONE = range(7)
+    phase = [PH_RFLAG if sizes[k] else PH_DONE for k in range(L)]
+    written = [0] * L
+    rank = [0] * L
+    brs = [0] * L
+    t = [0] * L
+    val = [0] * L
+    rhist = [0] * L
+    uhist = [0] * L
+    prev_rb = [0] * L
+    prev_ub = [0] * L
+
+    body_pos = 0
+    body = list(body)
+
+    # warm-up: every live lane needs two units before its first decode
+    for k in range(L):
+        if phase[k] != PH_DONE:
+            u0, u1 = body[body_pos], body[body_pos + 1]
+            body_pos += 2
+            decs[k] = _RcDec(int(u0), int(u1))
+
+    live = sum(1 for k in range(L) if phase[k] != PH_DONE)
+    while live > 0:
+        refills = []
+        for k in range(L):
+            if phase[k] == PH_DONE:
+                continue
+            d = decs[k]
+            # one bit for lane k
+            if phase[k] == PH_RFLAG:
+                ctx = _CTX_RANK_FLAG + rhist[k]
+            elif phase[k] == PH_REXP:
+                ctx = _CTX_RANK_EXP + 7 * prev_rb[k] + t[k] - 1
+            elif phase[k] == PH_RMAN:
+                ctx = _CTX_RANK_MAN + t[k]
+            elif phase[k] == PH_UFLAG:
+                ctx = _CTX_RUN_FLAG + uhist[k]
+            elif phase[k] == PH_UEXP:
+                ctx = _CTX_RUN_EXP + 24 * prev_ub[k] + t[k] - 1
+            else:
+                ctx = _CTX_RUN_MAN + min(t[k], 23)
+            p = probs[k][ctx]
+            bit, need = d.decode(p)
+            probs[k][ctx] = _upd(p, bit)
+            if need:
+                refills.append(k)
+
+            # state transition
+            if phase[k] == PH_RFLAG:
+                rhist[k] = ((rhist[k] << 1) | bit) & 0xF
+                if bit:
+                    phase[k] = PH_REXP
+                    t[k] = 1
+                    brs[k] = 1
+                else:
+                    rank[k] = 0
+                    prev_rb[k] = 0
+                    phase[k] = PH_UFLAG
+            elif phase[k] == PH_REXP:
+                if bit:
+                    brs[k] += 1
+                    t[k] += 1
+                    if brs[k] == RANK_EXP_CAP:
+                        phase[k] = PH_RMAN
+                        val[k] = 1
+                        t[k] = 0
+                        prev_rb[k] = _bucket3(brs[k])
+                else:
+                    prev_rb[k] = _bucket3(brs[k])
+                    if brs[k] == 1:
+                        rank[k] = 1
+                        phase[k] = PH_UFLAG
+                    else:
+                        phase[k] = PH_RMAN
+                        val[k] = 1
+                        t[k] = 0
+            elif phase[k] == PH_RMAN:
+                val[k] = (val[k] << 1) | bit
+                t[k] += 1
+                if t[k] == brs[k] - 1:
+                    rank[k] = val[k]
+                    phase[k] = PH_UFLAG
+            elif phase[k] == PH_UFLAG:
+                uhist[k] = ((uhist[k] << 1) | bit) & 0xF
+                if bit:
+                    phase[k] = PH_UEXP
+                    t[k] = 1
+                    brs[k] = 1
+                else:
+                    prev_ub[k] = 0
+                    _emit_run(out, offs, k, mtfs, rank, 1, written, sizes,
+                              phase, PH_RFLAG, PH_DONE)
+            elif phase[k] == PH_UEXP:
+                if bit:
+                    brs[k] += 1
+                    t[k] += 1
+                    if brs[k] == RUN_EXP_CAP:
+                        phase[k] = PH_UMAN
+                        val[k] = 1
+                        t[k] = 0
+                        prev_ub[k] = _bucket3(brs[k])
+                else:
+                    prev_ub[k] = _bucket3(brs[k])
+                    phase[k] = PH_UMAN
+                    val[k] = 1
+                    t[k] = 0
+            else:  # PH_UMAN
+                val[k] = (val[k] << 1) | bit
+                t[k] += 1
+                if t[k] == brs[k] - 1:
+                    _emit_run(out, offs, k, mtfs, rank, val[k], written,
+                              sizes, phase, PH_RFLAG, PH_DONE)
+        # refills in lane order within the iteration (a lane that finished
+        # on this very bit still consumes its unit — the encoder emitted it)
+        for k in refills:
+            decs[k].refill(int(body[body_pos]))
+            body_pos += 1
+        live = sum(1 for k in range(L) if phase[k] != PH_DONE)
+    return out.tobytes()
+
+
+def _emit_run(out, offs, k, mtfs, rank, run, written, sizes, phase,
+              ph_next, ph_done):
+    mtf = mtfs[k]
+    c = mtf.pop(rank[k])
+    mtf.insert(0, c)
+    o = offs[k] + written[k]
+    out[o:o + run] = c
+    written[k] += run
+    phase[k] = ph_done if written[k] >= sizes[k] else ph_next
+
+
+# engine entry points (device path lands in a follow-up; the reference
+# implementation defines the format)
+def wide_encode(data, n_lanes=None):
+    return wide_encode_ref(data, n_lanes)
+
+
+def wide_decode(payload):
+    return wide_decode_ref(payload)

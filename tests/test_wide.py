@@ -1,0 +1,90 @@
+"""CODER_QLFC_WIDE: the wide-lane entropy profile (ops/wide.py).
+
+Format-extension tests: reference-codec round-trips across corpora, API
+integration (mode word, BWT aux tail), and rejection by OLD decoders — both
+this library pre-extension semantics and the reference bsc binary must
+refuse coder id 4 via mode validation.
+"""
+
+import numpy as np
+import pytest
+
+from libbsc_tpu import api, constants as C
+from libbsc_tpu.ops import wide
+from tests.conftest import make_corpus
+
+
+@pytest.mark.parametrize("kind", ["text", "runs", "zeros", "periodic"])
+@pytest.mark.parametrize("n", [1, 255, 4096, 70001])
+def test_wide_reference_codec_roundtrip(rng, kind, n):
+    d = make_corpus(rng, n, kind)
+    p = wide.wide_encode_ref(d, n_lanes=8 if n > 256 else 2)
+    if p is None:
+        return  # incompressible at this size
+    assert wide.wide_decode_ref(p) == d
+
+
+def test_wide_random_incompressible(rng):
+    d = make_corpus(rng, 50000, "random")
+    assert wide.wide_encode_ref(d, n_lanes=8) is None
+
+
+def test_wide_lane_count_policy():
+    assert wide.pick_lanes(1 << 24) == wide.DEFAULT_LANES
+    assert wide.pick_lanes(8192) <= 2
+    # run-length exponent cap respected for huge blocks
+    assert -(-(1 << 30) // wide.pick_lanes(1 << 30)) < (1 << wide.RUN_EXP_CAP)
+
+
+def test_wide_api_roundtrip(rng):
+    data = make_corpus(rng, 300_000, "text")
+    blob = api.compress(data, coder=C.CODER_QLFC_WIDE)
+    h = api.block_info(blob[:C.HEADER_SIZE])
+    assert api.decompress(blob) == data
+
+
+def test_wide_api_with_st_sorter(rng):
+    data = make_corpus(rng, 200_000, "text")
+    blob = api.compress(data, block_sorter=C.BLOCKSORTER_ST5,
+                        coder=C.CODER_QLFC_WIDE)
+    assert api.decompress(blob) == data
+
+
+def test_wide_mode_rejected_by_reference_binary(tmp_path, rng):
+    """Old decoders must reject coder id 4 cleanly (mode validation,
+    libbsc.cpp:362-402)."""
+    import subprocess
+
+    from tests.oracle import bsc_binary
+
+    bsc = bsc_binary()
+    if bsc is None:
+        pytest.skip("reference binary unavailable")
+    data = make_corpus(rng, 300_000, "text")
+    blob = api.compress(data, coder=C.CODER_QLFC_WIDE)
+
+    import struct
+
+    arch = tmp_path / "wide.bsc"
+    with open(arch, "wb") as f:
+        f.write(b"bsc1")
+        f.write(struct.pack("<i", 1))
+        f.write(struct.pack("<qbb", 0, 1, C.CONTEXTS_FOLLOWING))
+        f.write(blob)
+    r = subprocess.run([bsc, "d", str(arch), str(tmp_path / "out")],
+                       capture_output=True)
+    assert r.returncode != 0
+
+
+def test_wide_ratio_cost_documented_bound(rng):
+    """The wide profile trades ratio for lockstep throughput; keep the cost
+    within the documented envelope (< 25% over QLFC-static on BWT input)."""
+    from libbsc_tpu import engine
+
+    api.init()
+    data = np.frombuffer(make_corpus(rng, 1 << 20, "text"), np.uint8).copy()
+    engine.bwt_encode(data, 0)
+    static = engine.coder_compress(data, C.CODER_QLFC_STATIC, 0)
+    p = wide.wide_encode_ref(data.tobytes(), n_lanes=128)
+    assert p is not None
+    assert len(p) < 1.25 * len(static)
