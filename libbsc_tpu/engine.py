@@ -1,7 +1,8 @@
 """Stage engine dispatch: native C++ host runtime, TPU (JAX) pipeline, or
 pure-NumPy fallback, selected per stage.
 
-Selection order (overridable via TBSC_ENGINE=native|numpy|tpu):
+Selection order (overridable via TBSC_ENGINE=native|numpy|tpu|ops — `ops`
+forces the JAX pipeline even when only the CPU backend exists):
   - transforms (BWT/ST): TPU when a JAX device pipeline is requested,
     otherwise native; NumPy fallback if the native build is unavailable.
   - entropy coder + LZP: native (serial bit-exact hot loops); NumPy
@@ -55,7 +56,7 @@ def _device_sort(features: int) -> bool:
     global _device
     if _force == "numpy":
         return False
-    if _force != "tpu" and not (features & C.FEATURE_CUDA):
+    if _force not in ("tpu", "ops") and not (features & C.FEATURE_CUDA):
         return False
     if _device is None:
         try:
@@ -70,6 +71,11 @@ def _device_sort(features: int) -> bool:
             except Exception:
                 pass
             devs = [d for d in jax.devices() if d.platform != "cpu"]
+            if not devs and _force == "ops":
+                # TBSC_ENGINE=ops: run the JAX ops pipeline even on the CPU
+                # backend (tests/striped-farm exercises the device path
+                # without a physical accelerator)
+                devs = jax.devices()
             _device = devs[0] if devs else False
         except Exception:
             _device = False
@@ -142,7 +148,7 @@ def lzp_decompress(data: np.ndarray, hash_size: int, min_len: int, features: int
 def bwt_encode(data: np.ndarray, features: int):
     """In-place-style BWT; returns (index, num_indexes, indexes)."""
     n = len(data)
-    if _force == "tpu" and n >= _DEVICE_MIN_BLOCK and _device_sort(features | C.FEATURE_CUDA):
+    if _force in ("tpu", "ops") and n >= _DEVICE_MIN_BLOCK and _device_sort(features | C.FEATURE_CUDA):
         # experimental full-device route (prefix-doubling suffix sort);
         # correct but sort-round bound — opt-in via TBSC_ENGINE=tpu only
         try:
