@@ -69,6 +69,10 @@ def load():
         _sig(lib.tbsc_bwt_decode, c_int, [u8p, c_int, c_int, c_int, i32p, c_int])
         _sig(lib.tbsc_st_encode, c_int, [u8p, c_int, c_int, c_int])
         _sig(lib.tbsc_st_decode, c_int, [u8p, c_int, c_int, c_int, c_int])
+        _sig(lib.tbsc_wide_encode, c_int,
+             [u8p, ctypes.c_int64, u8p, ctypes.c_int64, c_int])
+        _sig(lib.tbsc_wide_decode, c_int,
+             [u8p, ctypes.c_int64, u8p, ctypes.c_int64])
 
         # Install format tables.
         tdir = _DIR.parent / "coder" / "tables"

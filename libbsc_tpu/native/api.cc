@@ -20,6 +20,8 @@ int bwt_encode(uint8_t*, int, uint8_t*, int32_t*, int);
 int bwt_decode(uint8_t*, int, int, int, const int32_t*, int);
 int st_encode(uint8_t*, int, int, int);
 int st_decode(uint8_t*, int, int, int, int);
+int wide_encode(const uint8_t*, int64_t, uint8_t*, int64_t, int);
+int wide_decode(const uint8_t*, int64_t, uint8_t*, int64_t);
 }  // namespace tbsc
 
 extern "C" {
@@ -76,6 +78,16 @@ int tbsc_bwt_decode(uint8_t* T, int n, int index, int num_indexes, const int32_t
 
 int tbsc_st_encode(uint8_t* T, int n, int k, int num_threads) {
   return tbsc::st_encode(T, n, k, num_threads);
+}
+
+int tbsc_wide_encode(const uint8_t* in, int64_t n, uint8_t* out,
+                     int64_t out_cap, int n_lanes) {
+  return tbsc::wide_encode(in, n, out, out_cap, n_lanes);
+}
+
+int tbsc_wide_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                     int64_t out_cap) {
+  return tbsc::wide_decode(in, n, out, out_cap);
 }
 
 int tbsc_st_decode(uint8_t* T, int n, int k, int index, int num_threads) {

@@ -1,0 +1,446 @@
+// CODER_QLFC_WIDE host codec (format: libbsc_tpu/ops/wide.py).
+//
+// A lockstep simulation over lane-state arrays — the same iteration
+// structure as the TPU kernels, executed serially: every iteration codes at
+// most one bit per live lane; renormalization units are appended to the
+// lane's group stream in (iteration, lane) order with the +2 unit delay
+// realized by per-lane position queues.  This is the fast host fallback for
+// the wide profile (the numpy reference in ops/wide.py is the format spec).
+
+#include <cstdint>
+#include <cstring>
+#include <new>
+#include <vector>
+
+namespace tbsc {
+
+namespace wide {
+
+using u8 = uint8_t;
+using u16 = uint16_t;
+using u32 = uint32_t;
+using i64 = int64_t;
+
+constexpr int NCTX = 192;
+constexpr int CTX_RANK_FLAG = 0;   // + hist4
+constexpr int CTX_RANK_EXP = 16;   // + (t-1) + 7*prev_rb
+constexpr int CTX_RANK_MAN = 37;   // + pos
+constexpr int CTX_RUN_FLAG = 44;   // + hist4
+constexpr int CTX_RUN_EXP = 60;    // + (t-1) + 24*prev_ub
+constexpr int CTX_RUN_MAN = 132;   // + min(pos, 23)
+constexpr int RANK_EXP_CAP = 8;
+constexpr int RUN_EXP_CAP = 25;
+constexpr int GROUP = 128;
+constexpr int DEFAULT_LANES = 1024;
+
+static inline int bucket3(int brs) {
+  if (brs <= 1) return 0;
+  if (brs <= 3) return 1;
+  return 2;
+}
+
+static inline int pick_lanes(i64 isize) {
+  i64 lanes = DEFAULT_LANES;
+  while (lanes > 1 && isize / lanes < 4096) lanes /= 2;
+  while ((isize + lanes - 1) / lanes >= (1 << RUN_EXP_CAP)) lanes *= 2;
+  return (int)(lanes < 65535 ? lanes : 65535);
+}
+
+static inline int upd(int p, int bit) {
+  return bit ? p - (p >> 5) : p + ((4096 - p) >> 5);
+}
+
+// -------------------------------------------------------------------------
+// per-lane state
+// -------------------------------------------------------------------------
+
+enum Phase : u8 { PH_RFLAG, PH_REXP, PH_RMAN, PH_UFLAG, PH_UEXP, PH_UMAN,
+                  PH_DONE };
+
+struct Lane {
+  // coder
+  u32 low = 0, rng = 0xFFFFFFFFu, code = 0;
+  // model
+  u16 probs[NCTX];
+  u8 mtf[256];
+  // schedule state
+  u8 phase = PH_RFLAG;
+  u8 rhist = 0, uhist = 0, prev_rb = 0, prev_ub = 0;
+  int rank = 0, brs = 0, t = 0, val = 0;
+  // encode-side iterators
+  const u8* in = nullptr;
+  const u8* in_end = nullptr;
+  int cur_rank = 0, cur_run = 0;
+  // decode-side output
+  u8* out = nullptr;
+  i64 left = 0;
+
+  void init_model() {
+    for (int i = 0; i < NCTX; ++i) probs[i] = 2048;
+    for (int i = 0; i < 256; ++i) mtf[i] = (u8)i;
+  }
+};
+
+// context of the lane's next bit (shared by encode and decode)
+static inline int ctx_of(const Lane& L) {
+  switch (L.phase) {
+    case PH_RFLAG: return CTX_RANK_FLAG + L.rhist;
+    case PH_REXP:  return CTX_RANK_EXP + 7 * L.prev_rb + L.t - 1;
+    case PH_RMAN:  return CTX_RANK_MAN + L.t;
+    case PH_UFLAG: return CTX_RUN_FLAG + L.uhist;
+    case PH_UEXP:  return CTX_RUN_EXP + 24 * L.prev_ub + L.t - 1;
+    default:       return CTX_RUN_MAN + (L.t < 23 ? L.t : 23);
+  }
+}
+
+static inline int mtf_rank(Lane& L, u8 c) {
+  int r = 0;
+  u8 prev = L.mtf[0];
+  if (prev == c) { return 0; }
+  L.mtf[0] = c;
+  for (r = 1;; ++r) {
+    u8 t = L.mtf[r];
+    L.mtf[r] = prev;
+    if (t == c) break;
+    prev = t;
+  }
+  return r;
+}
+
+static inline u8 mtf_pick(Lane& L, int rank) {
+  u8 c = L.mtf[rank];
+  std::memmove(L.mtf + 1, L.mtf, (size_t)rank);
+  L.mtf[0] = c;
+  return c;
+}
+
+// encode: fetch the next run and set up the schedule state; returns false
+// when the lane's input is exhausted
+static bool next_run_encode(Lane& L) {
+  if (L.in >= L.in_end) { L.phase = PH_DONE; return false; }
+  u8 c = *L.in;
+  const u8* p = L.in + 1;
+  while (p < L.in_end && *p == c) ++p;
+  L.cur_run = (int)(p - L.in);
+  L.in = p;
+  L.cur_rank = mtf_rank(L, c);
+  L.phase = PH_RFLAG;
+  return true;
+}
+
+// the encoder's next bit given the schedule state (mirrors ops/wide.py
+// _lane_bits); advances the state machine
+static inline int next_bit_encode(Lane& L) {
+  switch (L.phase) {
+    case PH_RFLAG: {
+      int bit = L.cur_rank != 0;
+      L.rhist = (u8)(((L.rhist << 1) | bit) & 0xF);
+      if (bit) { L.phase = PH_REXP; L.t = 1; L.brs = 1; }
+      else { L.prev_rb = 0; L.phase = PH_UFLAG; }
+      return bit;
+    }
+    case PH_REXP: {
+      int brs_true = 32 - __builtin_clz((u32)L.cur_rank);
+      int bit = L.brs < brs_true;
+      if (bit) {
+        ++L.brs; ++L.t;
+        if (L.brs == RANK_EXP_CAP) { L.phase = PH_RMAN; L.t = 0; }
+      } else {
+        L.prev_rb = (u8)bucket3(L.brs);
+        if (L.brs == 1) { L.phase = PH_UFLAG; }
+        else { L.phase = PH_RMAN; L.t = 0; }
+      }
+      if (L.phase == PH_RMAN && L.brs == RANK_EXP_CAP)
+        L.prev_rb = (u8)bucket3(L.brs);
+      return bit;
+    }
+    case PH_RMAN: {
+      int brs_true = 32 - __builtin_clz((u32)L.cur_rank);
+      int bit = (L.cur_rank >> (brs_true - 2 - L.t)) & 1;
+      ++L.t;
+      if (L.t == L.brs - 1 || L.brs == 1) { /* unreachable guard */ }
+      if (L.t == brs_true - 1) L.phase = PH_UFLAG;
+      return bit;
+    }
+    case PH_UFLAG: {
+      int bit = L.cur_run != 1;
+      L.uhist = (u8)(((L.uhist << 1) | bit) & 0xF);
+      if (bit) { L.phase = PH_UEXP; L.t = 1; L.brs = 1; }
+      else { L.prev_ub = 0; next_run_encode(L); }
+      return bit;
+    }
+    case PH_UEXP: {
+      int brs_true = 32 - __builtin_clz((u32)L.cur_run);
+      int bit = L.brs < brs_true;
+      if (bit) {
+        ++L.brs; ++L.t;
+        if (L.brs == RUN_EXP_CAP) { L.phase = PH_UMAN; L.t = 0;
+                                    L.prev_ub = (u8)bucket3(L.brs); }
+      } else {
+        L.prev_ub = (u8)bucket3(L.brs);
+        L.phase = PH_UMAN; L.t = 0;
+      }
+      return bit;
+    }
+    default: {  // PH_UMAN
+      int brs_true = 32 - __builtin_clz((u32)L.cur_run);
+      int bit = (L.cur_run >> (brs_true - 2 - L.t)) & 1;
+      ++L.t;
+      if (L.t == brs_true - 1) next_run_encode(L);
+      return bit;
+    }
+  }
+}
+
+}  // namespace wide
+
+using u8 = uint8_t;
+using u16 = uint16_t;
+using u32 = uint32_t;
+using i64 = int64_t;
+
+// -------------------------------------------------------------------------
+// encode
+// -------------------------------------------------------------------------
+
+int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
+                int n_lanes) {
+  using namespace wide;
+  if (n <= 0) return -3;
+  const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
+  const i64 chunk = (n + L - 1) / L;
+  const int NG = (L + GROUP - 1) / GROUP;
+
+  std::vector<Lane> lanes(L);
+  std::vector<std::vector<u16>> q(L);        // per-lane unit queues
+  std::vector<std::vector<int>> events(NG);  // per-group lane-of-event list
+
+  i64 off = 0;
+  int live = 0;
+  for (int k = 0; k < L; ++k) {
+    Lane& ln = lanes[k];
+    ln.init_model();
+    i64 s = chunk < n - off ? chunk : n - off;
+    ln.in = input + off;
+    ln.in_end = input + off + s;
+    off += s;
+    if (s > 0 && next_run_encode(ln)) ++live;
+    else ln.phase = PH_DONE;
+  }
+
+  while (live > 0) {
+    for (int k = 0; k < L; ++k) {
+      Lane& ln = lanes[k];
+      if (ln.phase == PH_DONE) continue;
+      int ctx = ctx_of(ln);
+      int bit = next_bit_encode(ln);
+      int p = ln.probs[ctx];
+      ln.probs[ctx] = (u16)upd(p, bit);
+      u32 r = (ln.rng >> 12) * (u32)p;
+      if (bit) { ln.low += r; ln.rng -= r; }
+      else ln.rng = r;
+      if (ln.rng < (1u << 16)) {
+        if (((ln.low ^ (ln.low + ln.rng - 1)) >> 16) != 0)
+          ln.rng = 0x10000u - (ln.low & 0xFFFFu);
+        q[k].push_back((u16)(ln.low >> 16));
+        events[k / GROUP].push_back(k);
+        ln.low <<= 16;
+        ln.rng <<= 16;
+      }
+      if (ln.phase == PH_DONE) --live;
+    }
+  }
+  // flush every non-empty lane (two terminating units)
+  for (int k = 0; k < L; ++k) {
+    i64 start = (i64)k * chunk;
+    i64 lane_size = start < n ? ((n - start) < chunk ? (n - start) : chunk) : 0;
+    if (lane_size == 0) continue;
+    Lane& ln = lanes[k];
+    for (int f = 0; f < 2; ++f) {
+      q[k].push_back((u16)(ln.low >> 16));
+      ln.low <<= 16;
+    }
+  }
+
+  // assemble: per group, warm-up (2/lane) then q[r+2] per event
+  i64 total_units = 0;
+  for (int k = 0; k < L; ++k) total_units += (i64)q[k].size();
+  i64 need = 8 + 4 * (i64)NG + 2 * total_units;
+  if (need >= n || need > out_cap) return -3;
+
+  u8* w = output;
+  auto put32 = [&](u32 v) { std::memcpy(w, &v, 4); w += 4; };
+  auto put16 = [&](u16 v) { std::memcpy(w, &v, 2); w += 2; };
+  put32((u32)n);
+  put16((u16)L);
+  put16(0);
+  std::vector<u32> gu(NG);
+  for (int g = 0; g < NG; ++g) {
+    i64 units = 0;
+    int k0 = g * GROUP, k1 = (g + 1) * GROUP < L ? (g + 1) * GROUP : L;
+    for (int k = k0; k < k1; ++k) units += (i64)q[k].size();
+    gu[g] = (u32)units;
+    put32(gu[g]);
+  }
+  std::vector<int> next(L, 0);
+  for (int g = 0; g < NG; ++g) {
+    int k0 = g * GROUP, k1 = (g + 1) * GROUP < L ? (g + 1) * GROUP : L;
+    for (int k = k0; k < k1; ++k)
+      if (!q[k].empty()) { put16(q[k][0]); put16(q[k][1]); next[k] = 2; }
+    for (int k : events[g]) put16(q[k][next[k]++]);
+    for (int k = k0; k < k1; ++k)
+      if ((size_t)next[k] != q[k].size()) return -9;  // internal error
+  }
+  return (int)(w - output);
+}
+
+// -------------------------------------------------------------------------
+// decode
+// -------------------------------------------------------------------------
+
+int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
+  using namespace wide;
+  if (psize < 8) return -5;
+  u32 isize;
+  u16 L16, pad;
+  std::memcpy(&isize, payload, 4);
+  std::memcpy(&L16, payload + 4, 2);
+  std::memcpy(&pad, payload + 6, 2);
+  const int L = L16;
+  if (L == 0 || (i64)isize > out_cap) return -5;
+  const i64 n = (i64)isize;
+  const i64 chunk = (n + L - 1) / L;
+  const int NG = (L + GROUP - 1) / GROUP;
+  if (psize < 8 + 4 * (i64)NG) return -5;
+
+  std::vector<const u8*> gp(NG);  // group read cursors
+  {
+    const u8* s = payload + 8 + 4 * (i64)NG;
+    for (int g = 0; g < NG; ++g) {
+      u32 units;
+      std::memcpy(&units, payload + 8 + 4 * (i64)g, 4);
+      gp[g] = s;
+      s += 2 * (i64)units;
+      if (s > payload + psize) return -5;
+    }
+  }
+  auto get16 = [&](int g) -> u32 {
+    u16 v;
+    std::memcpy(&v, gp[g], 2);
+    gp[g] += 2;
+    return v;
+  };
+
+  std::vector<Lane> lanes(L);
+  int live = 0;
+  for (int k = 0; k < L; ++k) {
+    Lane& ln = lanes[k];
+    ln.init_model();
+    i64 start = (i64)k * chunk;
+    ln.left = start < n ? ((n - start) < chunk ? (n - start) : chunk) : 0;
+    ln.out = output + start;
+    if (ln.left > 0) { ln.phase = PH_RFLAG; ++live; }
+    else ln.phase = PH_DONE;
+  }
+  for (int k = 0; k < L; ++k) {
+    if (lanes[k].phase == PH_DONE) continue;
+    int g = k / GROUP;
+    lanes[k].code = (get16(g) << 16) | get16(g);
+  }
+
+  std::vector<int> refills;
+  refills.reserve(L);
+  while (live > 0) {
+    refills.clear();
+    for (int k = 0; k < L; ++k) {
+      Lane& ln = lanes[k];
+      if (ln.phase == PH_DONE) continue;
+      int ctx = ctx_of(ln);
+      int p = ln.probs[ctx];
+      u32 r = (ln.rng >> 12) * (u32)p;
+      int bit = (u32)(ln.code - ln.low) >= r;
+      if (bit) { ln.low += r; ln.rng -= r; }
+      else ln.rng = r;
+      ln.probs[ctx] = (u16)upd(p, bit);
+      if (ln.rng < (1u << 16)) {
+        if (((ln.low ^ (ln.low + ln.rng - 1)) >> 16) != 0)
+          ln.rng = 0x10000u - (ln.low & 0xFFFFu);
+        ln.low <<= 16;
+        ln.rng <<= 16;
+        refills.push_back(k);
+      }
+
+      // state machine (mirror of the encoder's schedule)
+      switch (ln.phase) {
+        case PH_RFLAG:
+          ln.rhist = (u8)(((ln.rhist << 1) | bit) & 0xF);
+          if (bit) { ln.phase = PH_REXP; ln.t = 1; ln.brs = 1; }
+          else { ln.rank = 0; ln.prev_rb = 0; ln.phase = PH_UFLAG; }
+          break;
+        case PH_REXP:
+          if (bit) {
+            ++ln.brs; ++ln.t;
+            if (ln.brs == RANK_EXP_CAP) {
+              ln.prev_rb = (u8)bucket3(ln.brs);
+              ln.phase = PH_RMAN; ln.val = 1; ln.t = 0;
+            }
+          } else {
+            ln.prev_rb = (u8)bucket3(ln.brs);
+            if (ln.brs == 1) { ln.rank = 1; ln.phase = PH_UFLAG; }
+            else { ln.phase = PH_RMAN; ln.val = 1; ln.t = 0; }
+          }
+          break;
+        case PH_RMAN:
+          ln.val = (ln.val << 1) | bit;
+          ++ln.t;
+          if (ln.t == ln.brs - 1) { ln.rank = ln.val; ln.phase = PH_UFLAG; }
+          break;
+        case PH_UFLAG:
+          ln.uhist = (u8)(((ln.uhist << 1) | bit) & 0xF);
+          if (bit) { ln.phase = PH_UEXP; ln.t = 1; ln.brs = 1; }
+          else {
+            ln.prev_ub = 0;
+            u8 c = mtf_pick(ln, ln.rank);
+            *ln.out++ = c;
+            if (--ln.left <= 0) { ln.phase = PH_DONE; --live; }
+            else ln.phase = PH_RFLAG;
+          }
+          break;
+        case PH_UEXP:
+          if (bit) {
+            ++ln.brs; ++ln.t;
+            if (ln.brs == RUN_EXP_CAP) {
+              ln.prev_ub = (u8)bucket3(ln.brs);
+              ln.phase = PH_UMAN; ln.val = 1; ln.t = 0;
+            }
+          } else {
+            ln.prev_ub = (u8)bucket3(ln.brs);
+            ln.phase = PH_UMAN; ln.val = 1; ln.t = 0;
+          }
+          break;
+        default: {  // PH_UMAN
+          ln.val = (ln.val << 1) | bit;
+          ++ln.t;
+          if (ln.t == ln.brs - 1) {
+            u8 c = mtf_pick(ln, ln.rank);
+            int run = ln.val;
+            if (run > ln.left) return -5;
+            std::memset(ln.out, c, (size_t)run);
+            ln.out += run;
+            ln.left -= run;
+            if (ln.left <= 0) { ln.phase = PH_DONE; --live; }
+            else ln.phase = PH_RFLAG;
+          }
+          break;
+        }
+      }
+    }
+    for (int k : refills) {
+      Lane& ln = lanes[k];
+      ln.code = (ln.code << 16) | get16(k / GROUP);
+    }
+  }
+  return (int)n;
+}
+
+}  // namespace tbsc

@@ -6,7 +6,15 @@ but caps them at 8.  This profile is a NEW coder id (4) with hundreds to
 thousands of lanes designed for lockstep execution on a TPU:
 
   payload := u32 isize | u16 n_lanes | u16 reserved(0)
-           | u32 n_units | u16 stream[n_units]   (little-endian)
+           | u32 group_units[ceil(n_lanes/128)]
+           | u16 streams... (concatenated per-group segments, little-endian)
+
+  Lanes are organized in GROUPS of 128 (the TPU kernel's vector row); each
+  group owns an independent sequential stream segment of group_units[g]
+  u16s.  Consumption order within a group: two warm-up units per non-empty
+  lane (lane order), then one unit per renormalization event in
+  (iteration, lane-within-group) order, a lane's r-th refill carrying its
+  (r+2)-th produced unit.
 
 - The block is split into n_lanes equal chunks (the last one short); each
   lane is an independent MTF+rank/run coder starting from the identity MTF
@@ -20,14 +28,10 @@ thousands of lanes designed for lockstep execution on a TPU:
 - The range coder is CARRY-LESS (range clamping at u16 boundaries): exactly
   one u16 is emitted per renormalization, which makes the per-lane emission
   cadence lockstep-friendly.  Two flush units terminate each lane.
-- The stream is laid out in DECODER CONSUMPTION ORDER — the standard
-  interleaved-entropy-lane layout: first two warm-up units per (non-empty)
-  lane in lane order, then one unit per renormalization event in
-  (iteration, lane) order, where the unit delivered at a lane's r-th
-  renormalization is the lane's (r+2)-th produced unit (the final two
-  refills of a lane consume its flush units).  The decoder therefore reads
-  one sequential stream and distributes units to the lanes that
-  renormalize each iteration; no per-lane cursors exist in the format.
+- Each group's stream is laid out in DECODER CONSUMPTION ORDER — the
+  standard interleaved-entropy-lane layout — so a group's decoder reads one
+  sequential segment and distributes units to the lanes that renormalize
+  each iteration; no per-lane cursors exist in the format.
 
 Old decoders reject coder id 4 via mode-word validation (libbsc.cpp:362-402
 equivalent), so bsc-compatible configs are untouched.
@@ -72,6 +76,7 @@ ADAPT_SHIFT = 5
 
 MAX_LANES = 65535
 DEFAULT_LANES = 1024
+GROUP = 128  # lanes per group (one TPU vector row; independent stream)
 
 
 def lane_sizes(isize: int, n_lanes: int) -> list[int]:
@@ -262,37 +267,48 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
         if schedules[k]:
             lanes[k].flush()
 
-    # assemble in decoder consumption order: warm-up (2 units per non-empty
-    # lane, lane order), then queue[r+2] at each lane's r-th renorm event
-    stream: list[int] = []
+    # assemble per 128-lane group in decoder consumption order: warm-up
+    # (2 units per non-empty lane, lane order), then queue[r+2] at each
+    # lane's r-th renorm event
+    n_groups = -(-L // GROUP)
+    gstreams: list[list[int]] = [[] for _ in range(n_groups)]
     next_unit = [0] * L
     for k in range(L):
         if schedules[k]:
-            stream.extend(lanes[k].out[0:2])
+            gstreams[k // GROUP].extend(lanes[k].out[0:2])
             next_unit[k] = 2
     for k in events:
-        stream.append(lanes[k].out[next_unit[k]])
+        gstreams[k // GROUP].append(lanes[k].out[next_unit[k]])
         next_unit[k] += 1
     for k in range(L):
         assert next_unit[k] == len(lanes[k].out), (k, next_unit[k],
                                                    len(lanes[k].out))
 
-    payload = struct.pack("<IHHI", isize, L, 0, len(stream))
-    payload += np.asarray(stream, dtype="<u2").tobytes()
+    payload = struct.pack("<IHH", isize, L, 0)
+    payload += np.asarray([len(g) for g in gstreams], dtype="<u4").tobytes()
+    for g in gstreams:
+        payload += np.asarray(g, dtype="<u2").tobytes()
     if len(payload) >= isize:
         return None
     return payload
 
 
 def wide_decode_ref(payload: bytes) -> bytes:
-    isize, L, _pad, n_units = struct.unpack_from("<IHHI", payload, 0)
-    stream = np.frombuffer(payload, dtype="<u2", count=n_units, offset=12)
+    isize, L, _pad = struct.unpack_from("<IHH", payload, 0)
+    n_groups = -(-L // GROUP)
+    gunits = np.frombuffer(payload, dtype="<u4", count=n_groups, offset=8)
+    off = 8 + 4 * n_groups
+    gstreams = []
+    for g in range(n_groups):
+        gstreams.append(np.frombuffer(payload, dtype="<u2",
+                                      count=int(gunits[g]), offset=off))
+        off += 2 * int(gunits[g])
     sizes = lane_sizes(isize, L)
-    return _decode_lockstep(isize, L, sizes, stream)
+    return _decode_lockstep(isize, L, sizes, gstreams)
 
 
-def _decode_lockstep(isize, L, sizes, body) -> bytes:
-    # The stream is already in consumption order: warm-up (2 per non-empty
+def _decode_lockstep(isize, L, sizes, gstreams) -> bytes:
+    # Each group's stream is in consumption order: warm-up (2 per non-empty
     # lane), then one unit per renormalization in (iteration, lane) order.
     out = np.zeros(isize, dtype=np.uint8)
     offs = np.cumsum([0] + sizes[:-1])
@@ -313,14 +329,15 @@ def _decode_lockstep(isize, L, sizes, body) -> bytes:
     prev_rb = [0] * L
     prev_ub = [0] * L
 
-    body_pos = 0
-    body = list(body)
+    gpos = [0] * len(gstreams)
 
     # warm-up: every live lane needs two units before its first decode
     for k in range(L):
         if phase[k] != PH_DONE:
-            u0, u1 = body[body_pos], body[body_pos + 1]
-            body_pos += 2
+            g = k // GROUP
+            u0 = gstreams[g][gpos[g]]
+            u1 = gstreams[g][gpos[g] + 1]
+            gpos[g] += 2
             decs[k] = _RcDec(int(u0), int(u1))
 
     live = sum(1 for k in range(L) if phase[k] != PH_DONE)
@@ -417,8 +434,9 @@ def _decode_lockstep(isize, L, sizes, body) -> bytes:
         # refills in lane order within the iteration (a lane that finished
         # on this very bit still consumes its unit — the encoder emitted it)
         for k in refills:
-            decs[k].refill(int(body[body_pos]))
-            body_pos += 1
+            g = k // GROUP
+            decs[k].refill(int(gstreams[g][gpos[g]]))
+            gpos[g] += 1
         live = sum(1 for k in range(L) if phase[k] != PH_DONE)
     return out.tobytes()
 
@@ -434,11 +452,47 @@ def _emit_run(out, offs, k, mtfs, rank, run, written, sizes, phase,
     phase[k] = ph_done if written[k] >= sizes[k] else ph_next
 
 
-# engine entry points (device path lands in a follow-up; the reference
-# implementation defines the format)
+def _native_lib():
+    try:
+        from .. import native as native_mod
+
+        if native_mod.available():
+            return native_mod.load()
+    except Exception:
+        pass
+    return None
+
+
 def wide_encode(data, n_lanes=None):
+    """Engine entry: native lockstep codec when built, numpy reference
+    otherwise."""
+    lib = _native_lib()
+    if lib is not None:
+        from ..native import _u8p
+
+        buf = np.ascontiguousarray(np.frombuffer(bytes(data), dtype=np.uint8))
+        out = np.empty(len(buf) + 65536, dtype=np.uint8)
+        rc = lib.tbsc_wide_encode(_u8p(buf), len(buf), _u8p(out), len(out),
+                                  n_lanes or 0)
+        if rc == -3:
+            return None
+        if rc < 0:
+            raise RuntimeError(f"wide_encode native error {rc}")
+        return out[:rc].tobytes()
     return wide_encode_ref(data, n_lanes)
 
 
 def wide_decode(payload):
+    lib = _native_lib()
+    if lib is not None:
+        from ..native import _u8p
+
+        buf = np.ascontiguousarray(np.frombuffer(bytes(payload),
+                                                 dtype=np.uint8))
+        (isize,) = struct.unpack_from("<I", payload, 0)
+        out = np.empty(int(isize), dtype=np.uint8)
+        rc = lib.tbsc_wide_decode(_u8p(buf), len(buf), _u8p(out), len(out))
+        if rc < 0:
+            raise RuntimeError(f"wide_decode native error {rc}")
+        return out[:rc].tobytes()
     return wide_decode_ref(payload)
