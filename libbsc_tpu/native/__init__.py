@@ -73,6 +73,10 @@ def load():
              [u8p, ctypes.c_int64, u8p, ctypes.c_int64, c_int])
         _sig(lib.tbsc_wide_decode, c_int,
              [u8p, ctypes.c_int64, u8p, ctypes.c_int64])
+        _sig(lib.tbsc_wide_ranks, c_int,
+             [u8p, ctypes.c_int64, c_int, c_int, i32p, i32p, i32p])
+        _sig(lib.tbsc_wide_schedule, c_int,
+             [u8p, ctypes.c_int64, c_int, c_int, u8p, u8p])
 
         # Install format tables.
         tdir = _DIR.parent / "coder" / "tables"

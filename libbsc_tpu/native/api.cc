@@ -22,6 +22,8 @@ int st_encode(uint8_t*, int, int, int);
 int st_decode(uint8_t*, int, int, int, int);
 int wide_encode(const uint8_t*, int64_t, uint8_t*, int64_t, int);
 int wide_decode(const uint8_t*, int64_t, uint8_t*, int64_t);
+int wide_ranks(const uint8_t*, int64_t, int, int, int32_t*, int32_t*, int32_t*);
+int wide_schedule(const uint8_t*, int64_t, int, int, uint8_t*, uint8_t*);
 }  // namespace tbsc
 
 extern "C" {
@@ -88,6 +90,16 @@ int tbsc_wide_encode(const uint8_t* in, int64_t n, uint8_t* out,
 int tbsc_wide_decode(const uint8_t* in, int64_t n, uint8_t* out,
                      int64_t out_cap) {
   return tbsc::wide_decode(in, n, out, out_cap);
+}
+
+int tbsc_wide_ranks(const uint8_t* in, int64_t n, int n_lanes, int cap,
+                    int32_t* ranks, int32_t* lens, int32_t* nruns) {
+  return tbsc::wide_ranks(in, n, n_lanes, cap, ranks, lens, nruns);
+}
+
+int tbsc_wide_schedule(const uint8_t* in, int64_t n, int n_lanes, int cap,
+                       uint8_t* ctx, uint8_t* bit) {
+  return tbsc::wide_schedule(in, n, n_lanes, cap, ctx, bit);
 }
 
 int tbsc_st_decode(uint8_t* T, int n, int k, int index, int num_threads) {

@@ -295,6 +295,94 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
 }
 
 // -------------------------------------------------------------------------
+// runs + MTF ranks prep (device-coder front half): per lane, extract runs
+// and their MTF ranks into [L, cap] row-major arrays padded with -1.
+// Returns the maximum run count over lanes (or -1 if cap is too small).
+// -------------------------------------------------------------------------
+
+int wide_ranks(const u8* input, i64 n, int n_lanes, int cap,
+               int32_t* ranks_out, int32_t* lens_out, int32_t* nruns_out) {
+  using namespace wide;
+  const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
+  const i64 chunk = (n + L - 1) / L;
+  int maxr = 0;
+  for (int k = 0; k < L; ++k) {
+    i64 start = (i64)k * chunk;
+    i64 s = start < n ? ((n - start) < chunk ? (n - start) : chunk) : 0;
+    const u8* in = input + start;
+    const u8* end = in + s;
+    u8 mtf[256];
+    for (int i = 0; i < 256; ++i) mtf[i] = (u8)i;
+    int nr = 0;
+    int32_t* rk = ranks_out + (i64)k * cap;
+    int32_t* rl = lens_out + (i64)k * cap;
+    while (in < end) {
+      u8 c = *in;
+      const u8* p = in + 1;
+      while (p < end && *p == c) ++p;
+      if (nr >= cap) return -1;
+      // inline MTF rank
+      int r = 0;
+      if (mtf[0] != c) {
+        u8 prev = mtf[0];
+        mtf[0] = c;
+        for (r = 1;; ++r) {
+          u8 t = mtf[r];
+          mtf[r] = prev;
+          if (t == c) break;
+          prev = t;
+        }
+      }
+      rk[nr] = r;
+      rl[nr] = (int32_t)(p - in);
+      ++nr;
+      in = p;
+    }
+    for (int i = nr; i < cap; ++i) { rk[i] = -1; rl[i] = -1; }
+    nruns_out[k] = nr;
+    if (nr > maxr) maxr = nr;
+  }
+  return maxr;
+}
+
+// -------------------------------------------------------------------------
+// bit-schedule planes (device-coder prep): for each lane, the (ctx, bit)
+// sequence written lane-major ([L, cap] u8 rows, 255-padded).  Returns the
+// maximum bit count over lanes, or -1 if cap is too small.
+// -------------------------------------------------------------------------
+
+int wide_schedule(const u8* input, i64 n, int n_lanes, int cap,
+                  u8* ctx_out, u8* bit_out) {
+  using namespace wide;
+  const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
+  const i64 chunk = (n + L - 1) / L;
+  i64 maxbits = 0;
+  for (int k = 0; k < L; ++k) {
+    i64 start = (i64)k * chunk;
+    i64 s = start < n ? ((n - start) < chunk ? (n - start) : chunk) : 0;
+    Lane ln;
+    ln.init_model();
+    ln.in = input + start;
+    ln.in_end = input + start + s;
+    u8* co = ctx_out + (i64)k * cap;
+    u8* bo = bit_out + (i64)k * cap;
+    i64 nb = 0;
+    if (s > 0 && next_run_encode(ln)) {
+      while (ln.phase != PH_DONE) {
+        if (nb >= cap) return -1;
+        co[nb] = (u8)ctx_of(ln);
+        bo[nb] = (u8)next_bit_encode(ln);
+        ++nb;
+      }
+    }
+    std::memset(co + nb, 255, (size_t)(cap - nb));
+    std::memset(bo + nb, 0, (size_t)(cap - nb));
+    if (nb > maxbits) maxbits = nb;
+  }
+  return (int)maxbits;
+}
+
+// -------------------------------------------------------------------------
 // decode
 // -------------------------------------------------------------------------
 
