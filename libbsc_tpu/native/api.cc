@@ -20,10 +20,11 @@ int bwt_encode(uint8_t*, int, uint8_t*, int32_t*, int);
 int bwt_decode(uint8_t*, int, int, int, const int32_t*, int);
 int st_encode(uint8_t*, int, int, int);
 int st_decode(uint8_t*, int, int, int, int);
-int wide_encode(const uint8_t*, int64_t, uint8_t*, int64_t, int);
+int wide_encode(const uint8_t*, int64_t, uint8_t*, int64_t, int, const int32_t*);
+int wide_balanced_sizes(const uint8_t*, int64_t, int, int32_t*);
 int wide_decode(const uint8_t*, int64_t, uint8_t*, int64_t);
 int wide_ranks(const uint8_t*, int64_t, int, int, int32_t*, int32_t*, int32_t*);
-int wide_schedule(const uint8_t*, int64_t, int, int, uint8_t*, uint8_t*);
+int wide_schedule(const uint8_t*, int64_t, int, int, uint8_t*, uint8_t*, const int32_t*);
 }  // namespace tbsc
 
 extern "C" {
@@ -83,8 +84,13 @@ int tbsc_st_encode(uint8_t* T, int n, int k, int num_threads) {
 }
 
 int tbsc_wide_encode(const uint8_t* in, int64_t n, uint8_t* out,
-                     int64_t out_cap, int n_lanes) {
-  return tbsc::wide_encode(in, n, out, out_cap, n_lanes);
+                     int64_t out_cap, int n_lanes, const int32_t* sizes) {
+  return tbsc::wide_encode(in, n, out, out_cap, n_lanes, sizes);
+}
+
+int tbsc_wide_balanced_sizes(const uint8_t* in, int64_t n, int n_lanes,
+                             int32_t* sizes) {
+  return tbsc::wide_balanced_sizes(in, n, n_lanes, sizes);
 }
 
 int tbsc_wide_decode(const uint8_t* in, int64_t n, uint8_t* out,
@@ -98,8 +104,8 @@ int tbsc_wide_ranks(const uint8_t* in, int64_t n, int n_lanes, int cap,
 }
 
 int tbsc_wide_schedule(const uint8_t* in, int64_t n, int n_lanes, int cap,
-                       uint8_t* ctx, uint8_t* bit) {
-  return tbsc::wide_schedule(in, n, n_lanes, cap, ctx, bit);
+                       uint8_t* ctx, uint8_t* bit, const int32_t* sizes) {
+  return tbsc::wide_schedule(in, n, n_lanes, cap, ctx, bit, sizes);
 }
 
 int tbsc_st_decode(uint8_t* T, int n, int k, int index, int num_threads) {

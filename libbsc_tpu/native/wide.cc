@@ -204,7 +204,7 @@ using i64 = int64_t;
 // -------------------------------------------------------------------------
 
 int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
-                int n_lanes) {
+                int n_lanes, const int32_t* sizes) {
   using namespace wide;
   if (n <= 0) return -3;
   const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
@@ -214,19 +214,23 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
   std::vector<Lane> lanes(L);
   std::vector<std::vector<u16>> q(L);        // per-lane unit queues
   std::vector<std::vector<int>> events(NG);  // per-group lane-of-event list
+  std::vector<i64> lsz(L);
 
   i64 off = 0;
   int live = 0;
   for (int k = 0; k < L; ++k) {
     Lane& ln = lanes[k];
     ln.init_model();
-    i64 s = chunk < n - off ? chunk : n - off;
+    i64 s = sizes ? (i64)sizes[k]
+                  : (chunk < n - off ? chunk : n - off);
+    lsz[k] = s;
     ln.in = input + off;
     ln.in_end = input + off + s;
     off += s;
     if (s > 0 && next_run_encode(ln)) ++live;
     else ln.phase = PH_DONE;
   }
+  if (off != n) return -8;  // sizes must cover the input exactly
 
   while (live > 0) {
     for (int k = 0; k < L; ++k) {
@@ -252,9 +256,7 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
   }
   // flush every non-empty lane (two terminating units)
   for (int k = 0; k < L; ++k) {
-    i64 start = (i64)k * chunk;
-    i64 lane_size = start < n ? ((n - start) < chunk ? (n - start) : chunk) : 0;
-    if (lane_size == 0) continue;
+    if (lsz[k] == 0) continue;
     Lane& ln = lanes[k];
     for (int f = 0; f < 2; ++f) {
       q[k].push_back((u16)(ln.low >> 16));
@@ -262,10 +264,11 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
     }
   }
 
-  // assemble: per group, warm-up (2/lane) then q[r+2] per event
+  // assemble: per group, warm-up (2/lane) then q[r+2] per event; flags
+  // bit 0 records an explicit lane-size table (balanced split)
   i64 total_units = 0;
   for (int k = 0; k < L; ++k) total_units += (i64)q[k].size();
-  i64 need = 8 + 4 * (i64)NG + 2 * total_units;
+  i64 need = 8 + 4 * (i64)NG + (sizes ? 4 * (i64)L : 0) + 2 * total_units;
   if (need >= n || need > out_cap) return -3;
 
   u8* w = output;
@@ -273,7 +276,9 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
   auto put16 = [&](u16 v) { std::memcpy(w, &v, 2); w += 2; };
   put32((u32)n);
   put16((u16)L);
-  put16(0);
+  put16(sizes ? 1 : 0);
+  if (sizes)
+    for (int k = 0; k < L; ++k) put32((u32)lsz[k]);
   std::vector<u32> gu(NG);
   for (int g = 0; g < NG; ++g) {
     i64 units = 0;
@@ -292,6 +297,106 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
       if ((size_t)next[k] != q[k].size()) return -9;  // internal error
   }
   return (int)(w - output);
+}
+
+// -------------------------------------------------------------------------
+// balanced lane sizes: split at run boundaries so each lane carries about
+// the same number of runs (the reference's rank-change balancing,
+// coder.cpp:70-109, scaled to wide lanes).  Returns 0.
+// -------------------------------------------------------------------------
+
+int wide_balanced_sizes(const u8* input, i64 n, int n_lanes,
+                        int32_t* sizes_out) {
+  using namespace wide;
+  const int L = n_lanes;
+  // lanes only need run lengths < 2^RUN_EXP_CAP, so the byte cap can be
+  // generous: sparse (runny) regions legitimately want big lanes
+  i64 cap = ((n + L - 1) / L) * 16;
+  if (cap >= (i64)1 << RUN_EXP_CAP) cap = ((i64)1 << RUN_EXP_CAP) - 1;
+  if (n <= 0) return -1;
+
+  // Estimated coded bits per run under a GLOBAL MTF walk (lane resets make
+  // the true value split-dependent; the proxy only drives balancing).
+  auto run_bits = [](int rank, i64 len) -> i64 {
+    i64 b = 1;  // rank flag
+    if (rank) {
+      int brs = 32 - __builtin_clz((u32)rank);
+      b += (brs - 1) + (brs < RANK_EXP_CAP ? 1 : 0);  // unary exponent
+      b += brs - 1;                                   // mantissa
+    }
+    b += 1;  // run flag
+    if (len != 1) {
+      int brs = 64 - __builtin_clzll((unsigned long long)len);
+      b += (brs - 1) + (brs < RUN_EXP_CAP ? 1 : 0);
+      b += brs - 1;
+    }
+    return b;
+  };
+
+  Lane gl;
+  gl.init_model();
+  // prefix bits at each run START position
+  std::vector<i64> rstart;
+  std::vector<i64> rbits;
+  rstart.reserve(1 << 16);
+  rbits.reserve(1 << 16);
+  i64 total_bits = 0;
+  {
+    i64 i = 0;
+    while (i < n) {
+      u8 c = input[i];
+      i64 j = i + 1;
+      while (j < n && input[j] == c) ++j;
+      int rank = mtf_rank(gl, c);
+      rstart.push_back(i);
+      rbits.push_back(total_bits);
+      total_bits += run_bits(rank, j - i);
+      i = j;
+    }
+  }
+  const i64 R = (i64)rstart.size();
+
+  i64 pos = 0, ri = 0;
+  i64 bits_done = 0;
+  for (int k = 0; k < L; ++k) {
+    i64 lanes_left = L - k;
+    if (pos >= n) { sizes_out[k] = 0; continue; }
+    if (lanes_left == 1) {
+      if (n - pos >= cap) return -1;
+      sizes_out[k] = (int32_t)(n - pos);
+      pos = n;
+      continue;
+    }
+    i64 target = (total_bits - bits_done) / lanes_left;
+    i64 start = pos;
+    // advance whole runs until the bit target or the byte cap
+    while (ri < R) {
+      i64 rend = (ri + 1 < R) ? rstart[ri + 1] : n;
+      i64 taken_bits = ((ri + 1 < R) ? rbits[ri + 1] : total_bits) - bits_done;
+      if (rend - start >= cap) break;
+      ++ri;
+      pos = rend;
+      if (taken_bits >= target) break;
+    }
+    if (pos == start) {  // a single run exceeds the cap: split it mid-run
+      pos = start + cap - 1;
+      if (pos > n) pos = n;
+      // skip runs fully consumed
+      while (ri < R && ((ri + 1 < R) ? rstart[ri + 1] : n) <= pos) ++ri;
+    }
+    // feasibility for the tail
+    i64 need = (n - pos) - (lanes_left - 1) * (cap - 1);
+    if (need > 0) {
+      i64 grow = need < (cap - 1) - (pos - start)
+                     ? need : (cap - 1) - (pos - start);
+      if (grow > 0) pos += grow;
+      if (pos > n) pos = n;
+      while (ri < R && ((ri + 1 < R) ? rstart[ri + 1] : n) <= pos) ++ri;
+    }
+    bits_done = (ri < R) ? rbits[ri] : total_bits;
+    sizes_out[k] = (int32_t)(pos - start);
+  }
+  return pos == n ? 0 : -1;
 }
 
 // -------------------------------------------------------------------------
@@ -352,14 +457,19 @@ int wide_ranks(const u8* input, i64 n, int n_lanes, int cap,
 // -------------------------------------------------------------------------
 
 int wide_schedule(const u8* input, i64 n, int n_lanes, int cap,
-                  u8* ctx_out, u8* bit_out) {
+                  u8* ctx_out, u8* bit_out, const int32_t* sizes) {
   using namespace wide;
   const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
   const i64 chunk = (n + L - 1) / L;
   i64 maxbits = 0;
+  i64 run_start = 0;
   for (int k = 0; k < L; ++k) {
-    i64 start = (i64)k * chunk;
-    i64 s = start < n ? ((n - start) < chunk ? (n - start) : chunk) : 0;
+    i64 start, s;
+    if (sizes) { start = run_start; s = sizes[k]; run_start += s; }
+    else {
+      start = (i64)k * chunk;
+      s = start < n ? ((n - start) < chunk ? (n - start) : chunk) : 0;
+    }
     Lane ln;
     ln.init_model();
     ln.in = input + start;
@@ -390,23 +500,41 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
   using namespace wide;
   if (psize < 8) return -5;
   u32 isize;
-  u16 L16, pad;
+  u16 L16, flags;
   std::memcpy(&isize, payload, 4);
   std::memcpy(&L16, payload + 4, 2);
-  std::memcpy(&pad, payload + 6, 2);
+  std::memcpy(&flags, payload + 6, 2);
   const int L = L16;
   if (L == 0 || (i64)isize > out_cap) return -5;
   const i64 n = (i64)isize;
   const i64 chunk = (n + L - 1) / L;
   const int NG = (L + GROUP - 1) / GROUP;
-  if (psize < 8 + 4 * (i64)NG) return -5;
+  i64 hdr = 8 + ((flags & 1) ? 4 * (i64)L : 0);
+  if (psize < hdr + 4 * (i64)NG) return -5;
+  std::vector<i64> lsz(L);
+  if (flags & 1) {
+    i64 sum = 0;
+    for (int k = 0; k < L; ++k) {
+      u32 v;
+      std::memcpy(&v, payload + 8 + 4 * (i64)k, 4);
+      lsz[k] = v;
+      sum += v;
+    }
+    if (sum != n) return -5;
+  } else {
+    i64 left = n;
+    for (int k = 0; k < L; ++k) {
+      lsz[k] = left < chunk ? left : chunk;
+      left -= lsz[k];
+    }
+  }
 
   std::vector<const u8*> gp(NG);  // group read cursors
   {
-    const u8* s = payload + 8 + 4 * (i64)NG;
+    const u8* s = payload + hdr + 4 * (i64)NG;
     for (int g = 0; g < NG; ++g) {
       u32 units;
-      std::memcpy(&units, payload + 8 + 4 * (i64)g, 4);
+      std::memcpy(&units, payload + hdr + 4 * (i64)g, 4);
       gp[g] = s;
       s += 2 * (i64)units;
       if (s > payload + psize) return -5;
@@ -421,14 +549,17 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
 
   std::vector<Lane> lanes(L);
   int live = 0;
-  for (int k = 0; k < L; ++k) {
-    Lane& ln = lanes[k];
-    ln.init_model();
-    i64 start = (i64)k * chunk;
-    ln.left = start < n ? ((n - start) < chunk ? (n - start) : chunk) : 0;
-    ln.out = output + start;
-    if (ln.left > 0) { ln.phase = PH_RFLAG; ++live; }
-    else ln.phase = PH_DONE;
+  {
+    i64 start = 0;
+    for (int k = 0; k < L; ++k) {
+      Lane& ln = lanes[k];
+      ln.init_model();
+      ln.left = lsz[k];
+      ln.out = output + start;
+      start += lsz[k];
+      if (ln.left > 0) { ln.phase = PH_RFLAG; ++live; }
+      else ln.phase = PH_DONE;
+    }
   }
   for (int k = 0; k < L; ++k) {
     if (lanes[k].phase == PH_DONE) continue;

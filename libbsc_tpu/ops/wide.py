@@ -294,16 +294,25 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
 
 
 def wide_decode_ref(payload: bytes) -> bytes:
-    isize, L, _pad = struct.unpack_from("<IHH", payload, 0)
+    isize, L, flags = struct.unpack_from("<IHH", payload, 0)
     n_groups = -(-L // GROUP)
-    gunits = np.frombuffer(payload, dtype="<u4", count=n_groups, offset=8)
-    off = 8 + 4 * n_groups
+    off = 8
+    explicit_sizes = None
+    if flags & 1:
+        explicit_sizes = np.frombuffer(payload, dtype="<u4", count=L,
+                                       offset=off).astype(np.int64)
+        off += 4 * L
+    gunits = np.frombuffer(payload, dtype="<u4", count=n_groups, offset=off)
+    off += 4 * n_groups
     gstreams = []
     for g in range(n_groups):
         gstreams.append(np.frombuffer(payload, dtype="<u2",
                                       count=int(gunits[g]), offset=off))
         off += 2 * int(gunits[g])
-    sizes = lane_sizes(isize, L)
+    if explicit_sizes is not None:
+        sizes = [int(x) for x in explicit_sizes]
+    else:
+        sizes = lane_sizes(isize, L)
     return _decode_lockstep(isize, L, sizes, gstreams)
 
 
@@ -463,17 +472,27 @@ def _native_lib():
     return None
 
 
-def wide_encode(data, n_lanes=None):
+def wide_encode(data, n_lanes=None, balanced=True):
     """Engine entry: native lockstep codec when built, numpy reference
-    otherwise."""
+    otherwise.  With balanced=True the lanes split at run boundaries with
+    ~equal run counts (flags bit 0 + explicit size table), which evens out
+    lane bit-lengths — the lockstep kernels' iteration count is the MAX
+    over lanes."""
     lib = _native_lib()
     if lib is not None:
-        from ..native import _u8p
+        from ..native import _i32p, _u8p
 
         buf = np.ascontiguousarray(np.frombuffer(bytes(data), dtype=np.uint8))
         out = np.empty(len(buf) + 65536, dtype=np.uint8)
+        L = n_lanes or pick_lanes(len(buf))
+        sizes_p = None
+        if balanced and len(buf) >= L:
+            sizes = np.zeros(L, dtype=np.int32)
+            if lib.tbsc_wide_balanced_sizes(_u8p(buf), len(buf), L,
+                                            _i32p(sizes)) == 0:
+                sizes_p = _i32p(sizes)
         rc = lib.tbsc_wide_encode(_u8p(buf), len(buf), _u8p(out), len(out),
-                                  n_lanes or 0)
+                                  L, sizes_p)
         if rc == -3:
             return None
         if rc < 0:

@@ -286,13 +286,24 @@ def device_encode(data: bytes, interpret: bool = False):
     if chunk >= (1 << W.RUN_EXP_CAP):
         return None
 
-    # native prep: per-lane (ctx, bit) planes, lane-major
-    cap = 9 * chunk + 64  # worst-case bits per lane
+    # balanced lane split (run-count quantiles) keeps the lockstep iteration
+    # count — the MAX bits over lanes — close to the average
+    from ..native import _i32p
+
     buf = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    sizes = np.zeros(LANES, dtype=np.int32)
+    sizes_p = None
+    if lib.tbsc_wide_balanced_sizes(_u8p(buf), n, LANES, _i32p(sizes)) == 0:
+        sizes_p = _i32p(sizes)
+    else:
+        sizes = None
+
+    # native prep: per-lane (ctx, bit) planes, lane-major
+    cap = 9 * (16 * chunk) + 64  # worst-case bits per lane (balanced cap 16x)
     ctx = np.empty((LANES, cap), dtype=np.uint8)
     bit = np.empty((LANES, cap), dtype=np.uint8)
     max_bits = lib.tbsc_wide_schedule(_u8p(buf), n, LANES, cap,
-                                      _u8p(ctx), _u8p(bit))
+                                      _u8p(ctx), _u8p(bit), sizes_p)
     if max_bits < 0:
         return None
 
@@ -309,20 +320,22 @@ def device_encode(data: bytes, interpret: bool = False):
     units_d, counts_d, flow_d = _coder_call(TI, IT, MAXROWS, interpret)(
         ctx_d, bit_d)
     counts = np.asarray(counts_d)[:, 0]
-    units = np.asarray(units_d)
+    used_rows = int(-(-int(counts.max()) // 128)) + 8
+    units = np.asarray(units_d[:, :used_rows])  # slim the D2H transfer
     flow = np.asarray(flow_d)
 
-    return _assemble(n, units, counts, flow)
+    return _assemble(n, units, counts, flow, sizes)
 
 
 def _assemble(n: int, units: np.ndarray, counts: np.ndarray,
-              flow: np.ndarray):
+              flow: np.ndarray, lane_sz=None):
     """Host post-pass: per group, apply the +2 unit delay (warm-up + queue
     reorder, see ops/wide.py) and build the payload.  `flow` is the final
     per-lane coder `low`, whose top 32 bits are the two flush units."""
     import struct
 
-    sizes = np.asarray(W.lane_sizes(n, LANES))
+    sizes = (np.asarray(lane_sz, dtype=np.int64) if lane_sz is not None
+             else np.asarray(W.lane_sizes(n, LANES)))
     payload_parts = []
     gunits = []
     for g in range(GROUPS):
@@ -369,7 +382,9 @@ def _assemble(n: int, units: np.ndarray, counts: np.ndarray,
         gunits.append(len(stream))
         payload_parts.append(stream.astype("<u2").tobytes())
 
-    payload = struct.pack("<IHH", n, LANES, 0)
+    payload = struct.pack("<IHH", n, LANES, 1 if lane_sz is not None else 0)
+    if lane_sz is not None:
+        payload += sizes.astype("<u4").tobytes()
     payload += np.asarray(gunits, dtype="<u4").tobytes()
     payload += b"".join(payload_parts)
     if len(payload) >= n:

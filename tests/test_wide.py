@@ -88,3 +88,19 @@ def test_wide_ratio_cost_documented_bound(rng):
     p = wide.wide_encode_ref(data.tobytes(), n_lanes=128)
     assert p is not None
     assert len(p) < 1.25 * len(static)
+
+
+def test_wide_device_kernel_parity_interpret(rng):
+    """The Pallas lockstep coder (interpret mode) must produce the exact
+    payload bytes of the native codec, balanced lane table included."""
+    from libbsc_tpu.ops import wide_kernels
+
+    n = 1024 * 40
+    out = bytearray()
+    while len(out) < n:
+        out += bytes([rng.integers(0, 4)]) * int(rng.integers(1, 10))
+    d = bytes(out[:n])
+    dev = wide_kernels.device_encode(d, interpret=True)
+    ref = wide.wide_encode(d, n_lanes=1024)
+    assert dev == ref
+    assert wide.wide_decode(dev) == d
