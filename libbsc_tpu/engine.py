@@ -190,6 +190,26 @@ def bwt_encode(data: np.ndarray, features: int):
 
 def bwt_decode(data: np.ndarray, index: int, num_indexes: int, indexes, features: int):
     n = len(data)
+    # Device inverse-BWT routing (the reference decodes on its accelerator
+    # too, bwt.cpp:233-281).  Measured crossover on this hardware: the
+    # pointer-doubling inverse runs at ~2-3 MB/s on-chip vs 60+ MB/s for the
+    # host bigram-PSI chase, so the device route never wins on one chip and
+    # is reachable only via TBSC_ENGINE=tpu|ops (scale-out/offload option);
+    # any device failure falls back silently to the host path below.
+    if _force in ("tpu", "ops") and n >= _DEVICE_MIN_BLOCK \
+            and _device_sort(features | C.FEATURE_CUDA):
+        try:
+            import jax.numpy as jnp
+
+            from .ops.bwt import bwt_decode as _dev_unbwt
+
+            out = _dev_unbwt(jnp.asarray(data), int(index))
+            out_host = np.asarray(out)
+        except Exception:
+            pass
+        else:
+            data[:] = out_host
+            return 0
     lib = _lib()
     if lib is not None:
         from .native import _u8p, _i32p
