@@ -208,6 +208,71 @@ def measure_farm(data: bytes):
             "bytes": sum(len(p) for p in ordered)}
 
 
+def measure_wide(data: bytes):
+    """CODER_QLFC_WIDE on-chip entropy coding (the Pallas lockstep coder)
+    on the first 16 MB block's BWT output: kernel-only rate plus the
+    transfer-bound e2e; None without a device."""
+    import time as _t
+
+    import numpy as _np
+
+    try:
+        import jax
+
+        if not any(d.platform != "cpu" for d in jax.devices()):
+            return None
+        import jax.numpy as jnp
+
+        from libbsc_tpu import engine
+        from libbsc_tpu import native as native_mod
+        from libbsc_tpu.native import _i32p, _u8p
+        from libbsc_tpu.ops import wide, wide_kernels
+
+        blk = _np.frombuffer(data[: 16 * 1024 * 1024], _np.uint8).copy()
+        engine.bwt_encode(blk, 0)
+        db = blk.tobytes()
+        n = len(db)
+
+        t0 = _t.time()
+        payload = wide_kernels.device_encode(db)
+        e2e = _t.time() - t0
+        if payload is None:
+            return None
+        assert wide.wide_decode(payload) == db
+
+        # kernel-only timing (cached arrays)
+        lib = native_mod.load()
+        buf = _np.ascontiguousarray(blk)
+        sizes = _np.zeros(1024, dtype=_np.int32)
+        lib.tbsc_wide_balanced_sizes(_u8p(buf), n, 1024, _i32p(sizes))
+        chunk = -(-n // 1024)
+        cap = 9 * (16 * chunk) + 64
+        ctx = _np.empty((1024, cap), dtype=_np.uint8)
+        bit = _np.empty((1024, cap), dtype=_np.uint8)
+        mb = lib.tbsc_wide_schedule(_u8p(buf), n, 1024, cap, _u8p(ctx),
+                                    _u8p(bit), _i32p(sizes))
+        TI = 256
+        IT = wide_kernels._it_bucket(max(mb, TI), TI)
+        MAXROWS = -(-((IT * 8) + 2048) // 1024) * 8
+        ctx_d = jnp.asarray(ctx[:, :IT]).reshape(8, 128, IT).transpose(2, 0, 1)
+        bit_d = jnp.asarray(bit[:, :IT]).reshape(8, 128, IT).transpose(2, 0, 1)
+        call = wide_kernels._coder_call(TI, IT, MAXROWS, False)
+        u, c, f = call(ctx_d, bit_d)
+        _ = int(c[0, 0])
+        best = float("inf")
+        for _i in range(2):
+            t0 = _t.time()
+            u, c, f = call(ctx_d, bit_d)
+            _ = int(jnp.sum(c[:, 0]))
+            best = min(best, _t.time() - t0)
+        return {"kernel_mbs": round(n / 1e6 / best, 1),
+                "e2e_mbs": round(n / 1e6 / e2e, 1),
+                "bytes": len(payload),
+                "host_qlfc_static_mbs": 68.0}
+    except Exception:
+        return None
+
+
 def main() -> None:
     import libbsc_tpu as B
     from libbsc_tpu import constants as C
@@ -221,6 +286,7 @@ def main() -> None:
     base_bytes = ref["bytes"] if ref else PIN_BYTES
 
     farm = measure_farm(data)
+    wide_res = measure_wide(data)
 
     detail = {
         "corpus_mb": CORPUS_MB,
@@ -236,6 +302,8 @@ def main() -> None:
     }
     if farm:
         detail["farm_st8_tpu"] = farm
+    if wide_res:
+        detail["wide_coder_onchip"] = wide_res
 
     print(json.dumps({
         "metric": "default_config_encode_e2e",
