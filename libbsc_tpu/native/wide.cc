@@ -232,7 +232,9 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
   }
   if (off != n) return -8;  // sizes must cover the input exactly
 
+  i64 iters = 0;
   while (live > 0) {
+    ++iters;
     for (int k = 0; k < L; ++k) {
       Lane& ln = lanes[k];
       if (ln.phase == PH_DONE) continue;
@@ -268,7 +270,7 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
   // bit 0 records an explicit lane-size table (balanced split)
   i64 total_units = 0;
   for (int k = 0; k < L; ++k) total_units += (i64)q[k].size();
-  i64 need = 8 + 4 * (i64)NG + (sizes ? 4 * (i64)L : 0) + 2 * total_units;
+  i64 need = 12 + 4 * (i64)NG + (sizes ? 4 * (i64)L : 0) + 2 * total_units;
   if (need >= n || need > out_cap) return -3;
 
   u8* w = output;
@@ -277,6 +279,7 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
   put32((u32)n);
   put16((u16)L);
   put16(sizes ? 1 : 0);
+  put32((u32)iters);
   if (sizes)
     for (int k = 0; k < L; ++k) put32((u32)lsz[k]);
   std::vector<u32> gu(NG);
@@ -498,25 +501,26 @@ int wide_schedule(const u8* input, i64 n, int n_lanes, int cap,
 
 int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
   using namespace wide;
-  if (psize < 8) return -5;
+  if (psize < 12) return -5;
   u32 isize;
   u16 L16, flags;
   std::memcpy(&isize, payload, 4);
   std::memcpy(&L16, payload + 4, 2);
   std::memcpy(&flags, payload + 6, 2);
+  // payload + 8: u32 max_bits (used by lockstep decoders; ignored here)
   const int L = L16;
   if (L == 0 || (i64)isize > out_cap) return -5;
   const i64 n = (i64)isize;
   const i64 chunk = (n + L - 1) / L;
   const int NG = (L + GROUP - 1) / GROUP;
-  i64 hdr = 8 + ((flags & 1) ? 4 * (i64)L : 0);
+  i64 hdr = 12 + ((flags & 1) ? 4 * (i64)L : 0);
   if (psize < hdr + 4 * (i64)NG) return -5;
   std::vector<i64> lsz(L);
   if (flags & 1) {
     i64 sum = 0;
     for (int k = 0; k < L; ++k) {
       u32 v;
-      std::memcpy(&v, payload + 8 + 4 * (i64)k, 4);
+      std::memcpy(&v, payload + 12 + 4 * (i64)k, 4);
       lsz[k] = v;
       sum += v;
     }

@@ -5,9 +5,14 @@ sub-block directory (coder.cpp:52-155) proves lanes are format-compatible,
 but caps them at 8.  This profile is a NEW coder id (4) with hundreds to
 thousands of lanes designed for lockstep execution on a TPU:
 
-  payload := u32 isize | u16 n_lanes | u16 reserved(0)
+  payload := u32 isize | u16 n_lanes | u16 flags | u32 max_bits
+           | [flags bit 0: u32 lane_size[n_lanes]]
            | u32 group_units[ceil(n_lanes/128)]
            | u16 streams... (concatenated per-group segments, little-endian)
+
+  flags bit 0 marks an explicit (bit-balanced) lane-size table; max_bits is
+  the lockstep iteration count (the maximum per-lane bit count), which lets
+  a lockstep decoder size its iteration grid without decoding.
 
   Lanes are organized in GROUPS of 128 (the TPU kernel's vector row); each
   group owns an independent sequential stream segment of group_units[g]
@@ -254,6 +259,7 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
     probs = [[P_INIT] * NCTX for _ in range(L)]
     events: list[int] = []  # lane of each renorm, in (iteration, lane) order
     max_bits = max((len(s) for s in schedules), default=0)
+    # (max_bits is also recorded in the header for lockstep decoders)
     for it in range(max_bits):
         for k in range(L):
             sched = schedules[k]
@@ -284,7 +290,7 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
         assert next_unit[k] == len(lanes[k].out), (k, next_unit[k],
                                                    len(lanes[k].out))
 
-    payload = struct.pack("<IHH", isize, L, 0)
+    payload = struct.pack("<IHHI", isize, L, 0, max_bits)
     payload += np.asarray([len(g) for g in gstreams], dtype="<u4").tobytes()
     for g in gstreams:
         payload += np.asarray(g, dtype="<u2").tobytes()
@@ -294,9 +300,9 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
 
 
 def wide_decode_ref(payload: bytes) -> bytes:
-    isize, L, flags = struct.unpack_from("<IHH", payload, 0)
+    isize, L, flags, _max_bits = struct.unpack_from("<IHHI", payload, 0)
     n_groups = -(-L // GROUP)
-    off = 8
+    off = 12
     explicit_sizes = None
     if flags & 1:
         explicit_sizes = np.frombuffer(payload, dtype="<u4", count=L,

@@ -104,3 +104,18 @@ def test_wide_device_kernel_parity_interpret(rng):
     ref = wide.wide_encode(d, n_lanes=1024)
     assert dev == ref
     assert wide.wide_decode(dev) == d
+
+
+def test_wide_device_decode_parity_interpret(rng):
+    """The Pallas lockstep DECODER (interpret mode) must reproduce the
+    input bytes from a native-encoded payload."""
+    from libbsc_tpu.ops import wide_kernels
+
+    n = 1024 * 36 + 123
+    out = bytearray()
+    while len(out) < n:
+        out += bytes([rng.integers(0, 4)]) * int(rng.integers(1, 10))
+    d = bytes(out[:n])
+    p = wide.wide_encode(d, n_lanes=1024)
+    back = wide_kernels.device_decode(p, interpret=True)
+    assert back == d
