@@ -171,8 +171,20 @@ def compress(
     if coder == C.CODER_QLFC_WIDE:
         from .ops import wide
 
-        with stage("coder_compress_wide", len(lz)):
-            payload = wide.wide_encode(bytes(lz.tobytes()))
+        payload = None
+        if engine._device_sort(features):
+            # on-chip lockstep coder (silent host fallback, like the
+            # reference's GPU dispatch)
+            try:
+                from .ops import wide_kernels
+
+                with stage("coder_compress_wide_tpu", len(lz)):
+                    payload = wide_kernels.device_encode(bytes(lz.tobytes()))
+            except Exception:
+                payload = None
+        if payload is None:
+            with stage("coder_compress_wide", len(lz)):
+                payload = wide.wide_encode(bytes(lz.tobytes()))
     else:
         with stage("coder_compress", len(lz)):
             payload = engine.coder_compress(lz, coder, features)
@@ -227,8 +239,20 @@ def decompress(block: bytes, expected_size: int | None = None) -> bytes:
     if coder == C.CODER_QLFC_WIDE:
         from .ops import wide
 
-        with stage("coder_decompress_wide", len(payload)):
-            lz = np.frombuffer(wide.wide_decode(payload), dtype=np.uint8)
+        lz = None
+        if engine._device_sort(features):
+            try:
+                from .ops import wide_kernels
+
+                with stage("coder_decompress_wide_tpu", len(payload)):
+                    out = wide_kernels.device_decode(payload)
+                lz = (np.frombuffer(out, dtype=np.uint8)
+                      if out is not None else None)
+            except Exception:
+                lz = None
+        if lz is None:
+            with stage("coder_decompress_wide", len(payload)):
+                lz = np.frombuffer(wide.wide_decode(payload), dtype=np.uint8)
     else:
         with stage("coder_decompress", len(payload)):
             lz = engine.coder_decompress(
