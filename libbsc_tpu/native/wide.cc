@@ -533,7 +533,8 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
     }
   }
 
-  std::vector<const u8*> gp(NG);  // group read cursors
+  std::vector<const u8*> gp(NG);   // group read cursors
+  std::vector<const u8*> gend(NG);  // group stream ends (corruption guard)
   {
     const u8* s = payload + hdr + 4 * (i64)NG;
     for (int g = 0; g < NG; ++g) {
@@ -542,9 +543,12 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
       gp[g] = s;
       s += 2 * (i64)units;
       if (s > payload + psize) return -5;
+      gend[g] = s;
     }
   }
+  bool overrun = false;
   auto get16 = [&](int g) -> u32 {
+    if (gp[g] + 2 > gend[g]) { overrun = true; return 0; }
     u16 v;
     std::memcpy(&v, gp[g], 2);
     gp[g] += 2;
@@ -662,6 +666,7 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
       Lane& ln = lanes[k];
       ln.code = (ln.code << 16) | get16(k / GROUP);
     }
+    if (overrun) return -5;
   }
   return (int)n;
 }

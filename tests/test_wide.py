@@ -119,3 +119,21 @@ def test_wide_device_decode_parity_interpret(rng):
     p = wide.wide_encode(d, n_lanes=1024)
     back = wide_kernels.device_decode(p, interpret=True)
     assert back == d
+
+
+def test_wide_corrupt_stream_raises_not_crashes(rng):
+    """Bit flips in a wide block must surface as DATA_CORRUPT via the API's
+    adler check (or a decode error), never crash or overrun."""
+    data = make_corpus(rng, 200_000, "runs")
+    blob = bytearray(api.compress(data, coder=C.CODER_QLFC_WIDE))
+    hits = 0
+    for trial in range(40):
+        b = bytearray(blob)
+        pos = int(rng.integers(C.HEADER_SIZE, len(b)))
+        b[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = api.decompress(bytes(b))
+            assert out == data  # only if the flip didn't matter
+        except (api.BscError, RuntimeError):
+            hits += 1
+    assert hits > 0
