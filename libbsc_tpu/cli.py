@@ -321,7 +321,8 @@ Switches:
   -b<size> Block size in megabytes, default: -b25
   -m<algo> Block sorting algorithm, default: -m0 (BWT); -m3..-m8 = ST3..ST8
   -c<ctx>  Contexts: -cf following (default), -cp preceding, -ca autodetect
-  -e<coder> Coder: -e1 static QLFC (default), -e2 adaptive QLFC, -e0 fast QLFC
+  -e<coder> Coder: -e1 static QLFC (default), -e2 adaptive QLFC, -e0 fast QLFC,
+           -e4 wide-lane QLFC (TPU lockstep profile; not bsc-decodable)
   -H<size> LZP hash size, default: -H15 (0 disables LZP)
   -M<len>  LZP minimum match length, default: -M128
   -p       Disable all preprocessing techniques
@@ -374,7 +375,8 @@ def parse_args(argv):
                     p.block_sorter = C.BLOCKSORTER_BWT if v == 0 else v
                 elif ch == "e":
                     coders = {0: C.CODER_QLFC_FAST, 1: C.CODER_QLFC_STATIC,
-                              2: C.CODER_QLFC_ADAPTIVE}
+                              2: C.CODER_QLFC_ADAPTIVE,
+                              4: C.CODER_QLFC_WIDE}
                     if v not in coders:
                         bad(a)
                     p.coder = coders[v]

@@ -258,3 +258,15 @@ def test_cli_big_block_8_subblock_directories(tmp_path, rng):
     my_out = tmp_path / "my_out"
     assert run_cli(["d", str(theirs), str(my_out)]).returncode == 0
     assert my_out.read_bytes() == data
+
+
+def test_cli_wide_profile_roundtrip(tmp_path, rng):
+    """-e4 selects the wide-lane profile (format extension)."""
+    data = make_corpus(rng, 400_000, "runs")
+    inp = tmp_path / "in"
+    inp.write_bytes(data)
+    arch = tmp_path / "a.bsc"
+    out = tmp_path / "out"
+    assert run_cli(["e", str(inp), str(arch), "-e4"]).returncode == 0
+    assert run_cli(["d", str(arch), str(out)]).returncode == 0
+    assert out.read_bytes() == data
