@@ -240,6 +240,17 @@ def measure_wide(data: bytes):
             return None
         assert wide.wide_decode(payload) == db
 
+        # on-chip DECODE (lockstep state machine + tiered MTF)
+        t0 = _t.time()
+        back = wide_kernels.device_decode(payload)
+        dec_first = _t.time() - t0
+        assert back == db
+        dec_best = dec_first
+        for _i in range(2):
+            t0 = _t.time()
+            back = wide_kernels.device_decode(payload)
+            dec_best = min(dec_best, _t.time() - t0)
+
         # kernel-only timing (cached arrays)
         lib = native_mod.load()
         buf = _np.ascontiguousarray(blk)
@@ -267,6 +278,7 @@ def measure_wide(data: bytes):
             best = min(best, _t.time() - t0)
         return {"kernel_mbs": round(n / 1e6 / best, 1),
                 "e2e_mbs": round(n / 1e6 / e2e, 1),
+                "decode_e2e_mbs": round(n / 1e6 / dec_best, 1),
                 "bytes": len(payload),
                 "host_qlfc_static_mbs": 68.0}
     except Exception:

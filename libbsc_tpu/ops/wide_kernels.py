@@ -465,7 +465,7 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
 
     def kernel(warm_ref, goff_ref, lsz_ref, stream_hbm,
                meta_hbm, len_hbm, counts_ref,
-               probs, low_s, rng_s, code_s, mtf,
+               probs, low_s, rng_s, code_s, mtf, symtmp,
                phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s,
                left_s,
                win, wof_s,
@@ -731,18 +731,42 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             nval = jnp.where(is_um, (val << 1) | bit, nval)
             nt = jnp.where(is_um & ~um_done, t + 1, nt)
 
-            # completions: MTF pick + record emit + lane accounting
+            # completions: MTF pick + record emit + lane accounting.
+            # Ranks above 31 are rare after a BWT, so the upper 224 table
+            # rows (the bulk of the per-iteration vector work) run under a
+            # scalar guard only when some lane actually needs them.
             comp_i = comp.astype(jnp.int32)
             crank = jnp.where(comp, nrank, -1)
+            mr = jnp.max(crank)
             sym = jnp.zeros((GROUPS, 128), jnp.int32)
-            for rr in range(256):
+            for rr in range(32):
                 sym = jnp.where(crank == rr, mtf[rr], sym)
+            symtmp[...] = sym
+            old31 = mtf[31]
+
+            @pl.when(mr >= 32)
+            def _high_pick():
+                s2 = symtmp[...]
+                for rr in range(32, 256):
+                    s2 = jnp.where(crank == rr, mtf[rr], s2)
+                symtmp[...] = s2
+
             # mtf shift: entries 1..rank move down, picked symbol to front
             prev = mtf[0]
-            for rr in range(1, 256):
+            for rr in range(1, 32):
                 cur = mtf[rr]
                 mtf[rr] = jnp.where(comp & (rr <= crank), prev, cur)
                 prev = cur
+
+            @pl.when(mr >= 32)
+            def _high_shift():
+                prev2 = old31
+                for rr in range(32, 256):
+                    cur = mtf[rr]
+                    mtf[rr] = jnp.where(comp & (rr <= crank), prev2, cur)
+                    prev2 = cur
+
+            sym = symtmp[...]
             mtf[0] = jnp.where(comp, sym, mtf[0])
 
             left = left_s[...]
@@ -809,7 +833,8 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
              pltpu.VMEM((GROUPS, 128), jnp.uint32),
              pltpu.VMEM((GROUPS, 128), jnp.uint32),
              pltpu.VMEM((GROUPS, 128), jnp.uint32),
-             pltpu.VMEM((256, GROUPS, 128), jnp.int32)] +
+             pltpu.VMEM((256, GROUPS, 128), jnp.int32),
+             pltpu.VMEM((GROUPS, 128), jnp.int32)] +
             [pltpu.VMEM((GROUPS, 128), jnp.int32) for _ in range(10)] +
             [pltpu.VMEM((GROUPS, 16, 128), jnp.int32),       # window
              pltpu.VMEM((GROUPS, 128), jnp.int32)] +         # wof
