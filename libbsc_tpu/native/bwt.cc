@@ -47,16 +47,156 @@ struct Scratch {
   size_t lms_used;
   i32* scratch;
   bool oom;
-  u8* bwt;  // top level only: fused BWT extraction, bwt[slot] = T[SA[slot]-1]
+  bool bwt_mode;  // top level only: final induce leaves the BWT chars in SA
+  // inline aux sampling (BWT mode): record the slot of suffix q when
+  // (q & aux_mask) == 0 && 0 < q <= aux_hi; aux_hi = -1 disables
+  i32 aux_mask;
+  i32 aux_hi;
+  i32 aux_shift;
+  i32* aux_out;
+  i32 primary;  // out: final slot of suffix 0
 };
 
-// Final induce: sign bit = "predecessor has the other type".  With BWT set
-// (u8 top level), every write also records the preceding text byte, so the
-// caller gets the BWT without a separate n-random-read extraction pass.
+// Final induce: sign bit = "predecessor has the other type".
+//
+// In BWT mode (u8 top level) the structure follows libsais's final BWT
+// scans (libsais.c:4541-4583, 5160-5186), re-derived here: the BWT byte of
+// slot i is T[SA[i]-1], which is exactly the char c the scan computes when
+// it reaches slot i — so the byte is stored INTO SA[i] sequentially (c|IMIN
+// in L2R, plain c in R2L) instead of through a second random write stream.
+// An R2L-written entry whose own predecessor is L-typed would never be
+// induced again, so its position is replaced by its answer (the stash
+// c0|IMIN); every slot therefore ends holding its BWT char.  Primary and
+// sampled aux ranks are recorded inline since positions vanish from SA.
 template <typename CharT, bool BWT>
 static void final_induce(const CharT* T, i32* SA, i32 n, i32 k,
                          const i32* bstart, const i32* total, i32* tmpk,
-                         u8* bw) {
+                         Scratch* sc) {
+  if (BWT) {
+    const i32 mask = sc->aux_mask, hi = sc->aux_hi, shift = sc->aux_shift;
+    i32* aux = sc->aux_out;
+    i32 prim = -1;
+    {  // L2R: induce L suffixes; leave each induced slot's char as c|IMIN
+      i32* lhead = tmpk;
+      std::memcpy(lhead, bstart, sizeof(i32) * (size_t)k);
+      {
+        i32 q = n - 1;
+        i32 s = lhead[T[q]]++;
+        SA[s] = q | ((T[q - 1] < T[q]) ? IMIN : 0);
+        if ((q & mask) == 0 && q != 0 && q <= hi) aux[(q >> shift) - 1] = s;
+      }
+      constexpr i32 PF = 32;
+      i32 i = 0;
+      for (i32 j = n - 2 * PF - 1; i < j; i += 2) {
+        __builtin_prefetch(&SA[i + 3 * PF], 1);
+        {
+          i32 s0 = SA[i + 2 * PF + 0];
+          if (s0 > 0) { __builtin_prefetch(&T[s0 - 1]); }
+          i32 s1 = SA[i + 2 * PF + 1];
+          if (s1 > 0) { __builtin_prefetch(&T[s1 - 1]); }
+        }
+        i32 p0 = SA[i + 0];
+        SA[i + 0] = p0 & IMAX;
+        if (p0 > 0) {
+          i32 q = p0 - 1;
+          i32 c = (i32)T[q];
+          SA[i + 0] = c | IMIN;
+          i32 s = lhead[c]++;
+          SA[s] = q | ((T[q - (q > 0)] < (CharT)c) ? IMIN : 0);
+          if ((q & mask) == 0) {
+            if (q != 0 && q <= hi) aux[(q >> shift) - 1] = s;
+          }
+        }
+        i32 p1 = SA[i + 1];
+        SA[i + 1] = p1 & IMAX;
+        if (p1 > 0) {
+          i32 q = p1 - 1;
+          i32 c = (i32)T[q];
+          SA[i + 1] = c | IMIN;
+          i32 s = lhead[c]++;
+          SA[s] = q | ((T[q - (q > 0)] < (CharT)c) ? IMIN : 0);
+          if ((q & mask) == 0) {
+            if (q != 0 && q <= hi) aux[(q >> shift) - 1] = s;
+          }
+        }
+      }
+      for (; i < n; ++i) {
+        i32 p = SA[i];
+        SA[i] = p & IMAX;
+        if (p > 0) {
+          i32 q = p - 1;
+          i32 c = (i32)T[q];
+          SA[i] = c | IMIN;
+          i32 s = lhead[c]++;
+          SA[s] = q | ((T[q - (q > 0)] < (CharT)c) ? IMIN : 0);
+          if ((q & mask) == 0) {
+            if (q != 0 && q <= hi) aux[(q >> shift) - 1] = s;
+          }
+        }
+      }
+    }
+    {  // R2L: induce S suffixes; pred-L entries arrive pre-answered
+      i32* rtail = tmpk;
+      for (i32 c = 0; c < k; ++c) rtail[c] = bstart[c] + total[c];
+      constexpr i32 PF = 32;
+      i32 i = n - 1;
+      for (i32 j = 2 * PF + 1; i >= j; i -= 2) {
+        __builtin_prefetch(&SA[i - 3 * PF], 1);
+        {
+          i32 s0 = SA[i - 2 * PF - 0];
+          if (s0 > 0) { __builtin_prefetch(&T[s0 - 1]); }
+          i32 s1 = SA[i - 2 * PF - 1];
+          if (s1 > 0) { __builtin_prefetch(&T[s1 - 1]); }
+        }
+        i32 p0 = SA[i - 0];
+        if (p0 == 0) prim = i - 0;
+        SA[i - 0] = p0 & IMAX;
+        if (p0 > 0) {
+          i32 q = p0 - 1;
+          CharT c1 = T[q];
+          CharT c0 = T[q - (q > 0)];
+          SA[i - 0] = (i32)c1;
+          i32 s = --rtail[c1];
+          SA[s] = (c0 <= c1) ? q : ((i32)c0 | IMIN);
+          if ((q & mask) == 0) {
+            if (q != 0 && q <= hi) aux[(q >> shift) - 1] = s;
+          }
+        }
+        i32 p1 = SA[i - 1];
+        if (p1 == 0) prim = i - 1;
+        SA[i - 1] = p1 & IMAX;
+        if (p1 > 0) {
+          i32 q = p1 - 1;
+          CharT c1 = T[q];
+          CharT c0 = T[q - (q > 0)];
+          SA[i - 1] = (i32)c1;
+          i32 s = --rtail[c1];
+          SA[s] = (c0 <= c1) ? q : ((i32)c0 | IMIN);
+          if ((q & mask) == 0) {
+            if (q != 0 && q <= hi) aux[(q >> shift) - 1] = s;
+          }
+        }
+      }
+      for (; i >= 0; --i) {
+        i32 p = SA[i];
+        if (p == 0) prim = i;
+        SA[i] = p & IMAX;
+        if (p > 0) {
+          i32 q = p - 1;
+          CharT c1 = T[q];
+          CharT c0 = T[q - (q > 0)];
+          SA[i] = (i32)c1;
+          i32 s = --rtail[c1];
+          SA[s] = (c0 <= c1) ? q : ((i32)c0 | IMIN);
+          if ((q & mask) == 0) {
+            if (q != 0 && q <= hi) aux[(q >> shift) - 1] = s;
+          }
+        }
+      }
+    }
+    sc->primary = prim;
+    return;
+  }
   {  // L2R: L suffixes; written sign = predecessor-is-S
     i32* lhead = tmpk;
     std::memcpy(lhead, bstart, sizeof(i32) * (size_t)k);
@@ -64,7 +204,6 @@ static void final_induce(const CharT* T, i32* SA, i32 n, i32 k,
       i32 q = n - 1;
       i32 s = lhead[T[q]]++;
       SA[s] = q | ((T[q - 1] < T[q]) ? IMIN : 0);
-      if (BWT) bw[s] = (u8)T[q - 1];
     }
     constexpr i32 PF = 32;
     i32 i = 0;
@@ -90,7 +229,6 @@ static void final_induce(const CharT* T, i32* SA, i32 n, i32 k,
         --p0;
         i32 s = lhead[T[p0]]++;
         SA[s] = p0 | ((T[p0 - (p0 > 0)] < T[p0]) ? IMIN : 0);
-        if (BWT) bw[s] = (u8)T[p0 - (p0 > 0)];
       }
       i32 p1 = SA[i + 1];
       SA[i + 1] = p1 ^ IMIN;
@@ -98,7 +236,6 @@ static void final_induce(const CharT* T, i32* SA, i32 n, i32 k,
         --p1;
         i32 s = lhead[T[p1]]++;
         SA[s] = p1 | ((T[p1 - (p1 > 0)] < T[p1]) ? IMIN : 0);
-        if (BWT) bw[s] = (u8)T[p1 - (p1 > 0)];
       }
     }
     for (; i < n; ++i) {
@@ -108,7 +245,6 @@ static void final_induce(const CharT* T, i32* SA, i32 n, i32 k,
         --p;
         i32 s = lhead[T[p]]++;
         SA[s] = p | ((T[p - (p > 0)] < T[p]) ? IMIN : 0);
-        if (BWT) bw[s] = (u8)T[p - (p > 0)];
       }
     }
   }
@@ -137,7 +273,6 @@ static void final_induce(const CharT* T, i32* SA, i32 n, i32 k,
         --p0;
         i32 s = --rtail[T[p0]];
         SA[s] = p0 | ((T[p0 - (p0 > 0)] > T[p0]) ? IMIN : 0);
-        if (BWT) bw[s] = (u8)T[p0 - (p0 > 0)];
       }
       i32 p1 = SA[i - 1];
       SA[i - 1] = p1 & IMAX;
@@ -145,7 +280,6 @@ static void final_induce(const CharT* T, i32* SA, i32 n, i32 k,
         --p1;
         i32 s = --rtail[T[p1]];
         SA[s] = p1 | ((T[p1 - (p1 > 0)] > T[p1]) ? IMIN : 0);
-        if (BWT) bw[s] = (u8)T[p1 - (p1 > 0)];
       }
     }
     for (; i >= 0; --i) {
@@ -155,7 +289,6 @@ static void final_induce(const CharT* T, i32* SA, i32 n, i32 k,
         --p;
         i32 s = --rtail[T[p]];
         SA[s] = p | ((T[p - (p > 0)] > T[p]) ? IMIN : 0);
-        if (BWT) bw[s] = (u8)T[p - (p > 0)];
       }
     }
   }
@@ -448,30 +581,36 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
         SA[--btail[T[p]]] = p;
       }
     }
-    if (sizeof(CharT) == 1 && sc->bwt != nullptr)
-      final_induce<CharT, true>(T, SA, n, k, bstart, total, tmpk, sc->bwt);
+    if (sizeof(CharT) == 1 && sc->bwt_mode)
+      final_induce<CharT, true>(T, SA, n, k, bstart, total, tmpk, sc);
     else
-      final_induce<CharT, false>(T, SA, n, k, bstart, total, tmpk, nullptr);
+      final_induce<CharT, false>(T, SA, n, k, bstart, total, tmpk, sc);
   }
   delete[] tbl;
 }
 
-// Entry point: suffix array of T[0..n) into SA[0..n); when bwt != null it
-// also receives bwt[j] = T[SA[j]-1] (the slot with SA[j]==0 holds garbage).
+// Entry point: suffix array of T[0..n) into SA[0..n).  In bwt_mode, SA
+// instead ends holding the BWT chars (primary slot garbage), *primary the
+// slot of suffix 0, and aux_out the sampled ranks — see final_induce.
 // Returns 0, or -2 on allocation failure.
-static int suffix_array_fast(const u8* T, i32* SA, i32 n, u8* bwt = nullptr) {
+static int suffix_array_fast(const u8* T, i32* SA, i32 n,
+                             bool bwt_mode = false, i32 aux_mask = IMAX,
+                             i32 aux_hi = -1, i32 aux_shift = 0,
+                             i32* aux_out = nullptr, i32* primary = nullptr) {
   if (n <= 0) return -1;
-  if (n == 1) { SA[0] = 0; return 0; }
+  if (n == 1) { SA[0] = 0; if (primary) *primary = 0; return 0; }
   i32* lms_stack = new (std::nothrow) i32[(size_t)n + 4];
   i32* scratch = new (std::nothrow) i32[(size_t)(n >> 1) + 4];
   if (!lms_stack || !scratch) {
     delete[] lms_stack; delete[] scratch;
     return -2;
   }
-  Scratch sc{lms_stack, 0, scratch, false, bwt};
+  Scratch sc{lms_stack, 0, scratch, false, bwt_mode,
+             aux_mask, aux_hi, aux_shift, aux_out, -1};
   sais_dense<u8>(T, SA, n, 256, &sc);
   delete[] lms_stack;
   delete[] scratch;
+  if (primary) *primary = sc.primary;
   return sc.oom ? -2 : 0;
 }
 
@@ -497,43 +636,31 @@ static int aux_rate(int n) {
 int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/) {
   if (n <= 1) { if (num_indexes) *num_indexes = 0; return n; }
   i32* SA = new (std::nothrow) i32[(size_t)n];
-  u8* U = new (std::nothrow) u8[(size_t)n];
-  if (!SA || !U) { delete[] SA; delete[] U; return -2; }
+  if (!SA) return -2;
   const u8 last = T[n - 1];
-  // BWT bytes fall out of the final induce (U[j] = T[SA[j]-1]) — no
-  // separate n-random-read extraction pass.
-  if (tbsc_fast_sais::suffix_array_fast(T, SA, n, U) != 0) {
-    delete[] SA; delete[] U;
-    return -2;
-  }
-
   int r = aux_rate(n);
   int n_aux = (n - 1) / r;
-  int primary = -1;
-  {
-    // one sequential SA sweep: primary slot + aux indexes (r is a power
-    // of two, so the modulo is a mask)
-    const i32 mask = r - 1;
-    const int shift = __builtin_ctz(r);
-    const i32 hi = (i32)n_aux * r;
-    for (int j = 0; j < n; ++j) {
-      i32 sj = SA[j];
-      if (sj == 0) primary = j + 1;
-      if (indexes && sj != 0 && (sj & mask) == 0 && sj <= hi)
-        indexes[(sj >> shift) - 1] = j;
-    }
+  i32 prim_slot = -1;
+  // BWT chars, primary and aux ranks all fall out of the final induce —
+  // no separate extraction pass or SA sweep (r is a power of two, so the
+  // sampling modulo is a mask).
+  if (tbsc_fast_sais::suffix_array_fast(
+          T, SA, n, true, (i32)r - 1, indexes ? (i32)n_aux * r : -1,
+          __builtin_ctz((unsigned)r), indexes, &prim_slot) != 0) {
+    delete[] SA;
+    return -2;
   }
+  int primary = (int)prim_slot + 1;
   if (indexes && num_indexes) {
     *num_indexes = (u8)n_aux;
   } else if (num_indexes) {
     *num_indexes = 0;
   }
   // assemble the reference stream convention: row 0 shows T[n-1]; the
-  // primary (sentinel) row is skipped
-  std::memcpy(T + 1, U, (size_t)(primary - 1));
-  std::memcpy(T + primary, U + primary, (size_t)(n - primary));
+  // primary (sentinel) row is skipped (SA holds the chars, widened)
+  for (int j = 0; j < primary - 1; ++j) T[j + 1] = (u8)SA[j];
+  for (int j = primary; j < n; ++j) T[j] = (u8)SA[j];
   T[0] = last;
-  delete[] U;
   delete[] SA;
   return primary;
 }

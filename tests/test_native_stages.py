@@ -166,3 +166,29 @@ def test_lzp_roundtrip_and_interop(lib, oracle, rng, hs, ml):
                 dec3 = np.zeros(n + 64, dtype=np.uint8)
                 drc3 = lib.tbsc_lzp_decompress(native._u8p(oout), native._u8p(dec3), orc, hs, ml, 1)
                 assert drc3 == n and np.array_equal(dec3[:n], data)
+
+
+def test_st_failback_layout_roundtrip(lib, oracle, rng):
+    """Inverse-ST layout C (st.cpp:1024,1422-1483): when any symbol count
+    reaches 2^23 the packed-link layouts overflow and the decoder must fall
+    back to link-only reconstruction with fastbits symbol recovery.  9 MB at
+    95% one symbol crosses the threshold; round-trip ours and cross-decode
+    with the reference."""
+    n = 9 * 1024 * 1024
+    data = np.zeros(n, dtype=np.uint8)
+    rare = rng.integers(0, n, n // 20)
+    data[rare] = rng.integers(1, 256, len(rare)).astype(np.uint8)
+    assert int(np.bincount(data).max()) >= 1 << 23
+
+    T = data.copy()
+    idx = lib.tbsc_st_encode(native._u8p(T), n, 5, 1)
+    assert idx >= 0
+    D = T.copy()
+    rc = lib.tbsc_st_decode(native._u8p(D), n, 5, idx, 1)
+    assert rc == 0
+    assert np.array_equal(D, data)
+
+    oT = np.concatenate([T, np.zeros(64, dtype=np.uint8)])
+    orc = oracle.o_st_decode(oT.ctypes.data_as(u8p), n, 5, idx, 0)
+    assert orc == 0
+    assert np.array_equal(oT[:n], data)
