@@ -23,6 +23,7 @@
 namespace tbsc {
 
 using u8 = uint8_t;
+using u16 = uint16_t;
 using u32 = uint32_t;
 using u64 = uint64_t;
 using i32 = int32_t;
@@ -55,9 +56,175 @@ static void radix_pass16_pair(const u64* src, const u8* sval, u64* dst, u8* dval
   delete[] cnt;
 }
 
+// ST3..ST6 forward: two-pass LSD split exactly at a byte/nibble boundary
+// (the scheme of st.cpp:56-236): one scatter keyed on the TRAILING context
+// bytes, storing (leading bytes | preceding byte) packed in 16/32 bits,
+// then one counting pass on the LEADING bytes that emits the payload bytes
+// directly.  The phase-1 bucket array is reused as phase-2 ends when both
+// keys are cyclic shifts of the same multiset (ST4/ST6).  Rank of position
+// 0 falls out of the scan when it crosses its slot — no search.
+//
+// Unlike the reference we take no writable padding beyond T[n]; a padded
+// source copy provides wrap-around reads (and phase 2 then writes into T
+// with no aliasing).
+
+static inline u8* padded_src(const u8* T, int n, int pad) {
+  u8* Tp = new (std::nothrow) u8[(size_t)n + pad];
+  if (!Tp) return nullptr;
+  std::memcpy(Tp, T, (size_t)n);
+  for (int j = 0; j < pad; ++j) Tp[n + j] = T[j % n];
+  return Tp;
+}
+
+static int st3_fwd(u8* T, int n) {
+  u8* Tp = padded_src(T, n, 8);
+  u16* P = new (std::nothrow) u16[(size_t)n];
+  i32* bucket = new (std::nothrow) i32[65536]();
+  if (!Tp || !P || !bucket) { delete[] Tp; delete[] P; delete[] bucket; return -2; }
+  i32 cnt[256] = {0};
+
+  for (int i = 0; i < n; ++i) {
+    bucket[((i32)Tp[i] << 8) | Tp[i + 1]]++;
+    cnt[Tp[i]]++;
+  }
+  for (i32 sum = 0, d = 0; d < 65536; ++d) { i32 t = bucket[d]; bucket[d] = sum; sum += t; }
+  for (i32 sum = 0, d = 0; d < 256; ++d) { i32 t = cnt[d]; cnt[d] = sum; sum += t; }
+
+  const int pos = bucket[((i32)Tp[1] << 8) | Tp[2]];
+
+  {  // scatter by (b1,b2); value = (prev << 8) | b0
+    u8 prev = Tp[n - 1];
+    for (int i = 0; i < n; ++i) {
+      P[bucket[((i32)Tp[i + 1] << 8) | Tp[i + 2]]++] = (u16)(((i32)prev << 8) | Tp[i]);
+      prev = Tp[i];
+    }
+  }
+  int i = 0;
+  for (; i < pos; ++i) T[cnt[P[i] & 0xff]++] = (u8)(P[i] >> 8);
+  const int index = cnt[P[pos] & 0xff];
+  for (; i < n; ++i) T[cnt[P[i] & 0xff]++] = (u8)(P[i] >> 8);
+  delete[] Tp; delete[] P; delete[] bucket;
+  return index;
+}
+
+static int st4_fwd(u8* T, int n) {
+  u8* Tp = padded_src(T, n, 8);
+  u32* P = new (std::nothrow) u32[(size_t)n];
+  i32* bucket = new (std::nothrow) i32[65536]();
+  if (!Tp || !P || !bucket) { delete[] Tp; delete[] P; delete[] bucket; return -2; }
+
+  for (int i = 0; i < n; ++i) bucket[((i32)Tp[i] << 8) | Tp[i + 1]]++;
+  for (i32 sum = 0, d = 0; d < 65536; ++d) { i32 t = bucket[d]; bucket[d] = sum; sum += t; }
+
+  const int pos = bucket[((i32)Tp[2] << 8) | Tp[3]];
+
+  {  // scatter by (b2,b3); value = (b0 << 24) | (b1 << 16) | prev
+    u8 prev = Tp[n - 1];
+    for (int i = 0; i < n; ++i) {
+      P[bucket[((i32)Tp[i + 2] << 8) | Tp[i + 3]]++] =
+          ((u32)Tp[i] << 24) | ((u32)Tp[i + 1] << 16) | prev;
+      prev = Tp[i];
+    }
+  }
+  // bucket now holds the END of each 2-gram run — the same multiset as
+  // (b0,b1), so phase 2 reuses it descending
+  int i = n - 1;
+  for (; i >= pos; --i) T[--bucket[P[i] >> 16]] = (u8)(P[i] & 0xff);
+  const int index = bucket[P[pos] >> 16];
+  for (; i >= 0; --i) T[--bucket[P[i] >> 16]] = (u8)(P[i] & 0xff);
+  delete[] Tp; delete[] P; delete[] bucket;
+  return index;
+}
+
+static int st5_fwd(u8* T, int n) {
+  u8* Tp = padded_src(T, n, 8);
+  u32* P = new (std::nothrow) u32[(size_t)n];
+  i32* bucket = new (std::nothrow) i32[1 << 20]();
+  i32* bucket2 = new (std::nothrow) i32[1 << 20]();
+  if (!Tp || !P || !bucket || !bucket2) {
+    delete[] Tp; delete[] P; delete[] bucket; delete[] bucket2;
+    return -2;
+  }
+
+  // one rolling scan feeds both phase keys: phase 1 (b2 low nibble, b3, b4)
+  // and phase 2 (b0, b1, b2 high nibble) — the same 5-byte window multiset
+  {
+    u32 W = ((u32)Tp[0] << 16) | ((u32)Tp[1] << 8) | Tp[2];
+    for (int i = 0; i < n; ++i) {
+      bucket[W & 0x0fffff]++;
+      bucket2[W >> 4]++;
+      W = ((W << 8) & 0xffffff) | Tp[i + 3];
+    }
+  }
+  for (i32 sum = 0, d = 0; d < (1 << 20); ++d) { i32 t = bucket[d]; bucket[d] = sum; sum += t; }
+
+  const int pos =
+      bucket[((i32)(Tp[2] & 0xf) << 16) | ((i32)Tp[3] << 8) | Tp[4]];
+
+  {  // value = (b0 << 24) | (b1 << 16) | (b2 high nibble << 12) | prev
+    u8 prev = Tp[n - 1];
+    u64 W = ((u64)Tp[0] << 32) | ((u64)Tp[1] << 24) | ((u64)Tp[2] << 16) |
+            ((u64)Tp[3] << 8) | Tp[4];
+    for (int i = 0; i < n; ++i) {
+      P[bucket[(u32)W & 0x0fffff]++] = (((u32)(W >> 8)) & 0xfffff000) | prev;
+      prev = (u8)(W >> 32);
+      W = ((W << 8) & 0xffffffffffull) | Tp[i + 5];
+    }
+  }
+  for (i32 sum = 0, d = 0; d < (1 << 20); ++d) { sum += bucket2[d]; bucket2[d] = sum; }
+
+  int i = n - 1;
+  for (; i >= pos; --i) T[--bucket2[P[i] >> 12]] = (u8)(P[i] & 0xff);
+  const int index = bucket2[P[pos] >> 12];
+  for (; i >= 0; --i) T[--bucket2[P[i] >> 12]] = (u8)(P[i] & 0xff);
+  delete[] Tp; delete[] P; delete[] bucket; delete[] bucket2;
+  return index;
+}
+
+static int st6_fwd(u8* T, int n) {
+  u8* Tp = padded_src(T, n, 8);
+  u32* P = new (std::nothrow) u32[(size_t)n];
+  i32* bucket = new (std::nothrow) i32[1 << 24]();
+  if (!Tp || !P || !bucket) { delete[] Tp; delete[] P; delete[] bucket; return -2; }
+
+  {
+    u32 W = ((u32)Tp[0] << 16) | ((u32)Tp[1] << 8) | Tp[2];
+    for (int i = 0; i < n; ++i) {
+      bucket[W]++;
+      W = ((W << 8) & 0xffffff) | Tp[i + 3];
+    }
+  }
+  for (i32 sum = 0, d = 0; d < (1 << 24); ++d) { i32 t = bucket[d]; bucket[d] = sum; sum += t; }
+
+  const int pos = bucket[((i32)Tp[3] << 16) | ((i32)Tp[4] << 8) | Tp[5]];
+
+  {  // scatter by (b3,b4,b5); value = (b0 << 24) | (b1 << 16) | (b2 << 8) | prev
+    u8 prev = Tp[n - 1];
+    u64 W = ((u64)Tp[0] << 40) | ((u64)Tp[1] << 32) | ((u64)Tp[2] << 24) |
+            ((u64)Tp[3] << 16) | ((u64)Tp[4] << 8) | Tp[5];
+    for (int i = 0; i < n; ++i) {
+      P[bucket[(u32)W & 0xffffff]++] = (((u32)(W >> 16)) & 0xffffff00) | prev;
+      prev = (u8)(W >> 40);
+      W = ((W << 8) & 0xffffffffffffull) | Tp[i + 6];
+    }
+  }
+  // 3-gram ends reused descending for the (b0,b1,b2) pass
+  int i = n - 1;
+  for (; i >= pos; --i) T[--bucket[P[i] >> 8]] = (u8)(P[i] & 0xff);
+  const int index = bucket[P[pos] >> 8];
+  for (; i >= 0; --i) T[--bucket[P[i] >> 8]] = (u8)(P[i] & 0xff);
+  delete[] Tp; delete[] P; delete[] bucket;
+  return index;
+}
+
 int st_encode(u8* T, int n, int k, int /*num_threads*/) {
   if (n <= 1) return 0;
   if (k < 3 || k > 8) return -1;
+
+  if (k == 3) return st3_fwd(T, n);
+  if (k == 4) return st4_fwd(T, n);
+  if (k == 5) return st5_fwd(T, n);
+  if (k == 6) return st6_fwd(T, n);
 
   if (k <= 7) {
     u64* a = new (std::nothrow) u64[(size_t)n];
