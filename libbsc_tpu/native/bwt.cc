@@ -762,15 +762,15 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
   }
 
   // forward chains: chain 0 from the primary row covers [0, r); chain t
-  // from aux row t covers [t*r, (t+1)*r); the last chain ends at n
-  const int n_chains = num_indexes + 1;
-  i32 kk[256];
-  int pp[256], qq[256];  // write cursor / end (exclusive)
-  for (int t = 0; t < n_chains; ++t) {
-    kk[t] = (t == 0) ? index : indexes[t - 1] + 1;
-    pp[t] = t * r;
-    qq[t] = (t == n_chains - 1) ? n : (t + 1) * r;
-  }
+  // from aux row t covers [t*r, (t+1)*r).  The first num_indexes+0 chains
+  // all have length exactly r, so the wavefront loop runs them with no
+  // per-step bounds checks (write position = t*r + 2*i); only the last
+  // (shorter) chain carries a cheap, perfectly-predicted cutoff.
+  const int K = num_indexes;     // chains of length exactly r
+  const int l = n - K * r;       // last chain length, 1..r
+  i32 ck[256];
+  ck[0] = index;
+  for (int t = 1; t <= K; ++t) ck[t] = indexes[t - 1] + 1;
 
   auto bigram_of = [&](i32 k) -> u32 {
     u32 w = fastbits[(u32)k >> shift];
@@ -778,31 +778,33 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
     return w;
   };
 
-  int active = n_chains;
-  while (active > 0) {
-    active = 0;
-    for (int t = 0; t < n_chains; ++t) {
-      int p = pp[t];
-      if (p >= qq[t]) continue;
-      ++active;
-      i32 k = kk[t];
-      if (p + 2 <= qq[t]) {
-        u32 w = bigram_of(k);
-        out[p] = (u8)(w >> 8);
-        out[p + 1] = (u8)(w & 255);
-        pp[t] = p + 2;
-        k = P2[k];
-        kk[t] = k;
-        __builtin_prefetch(&P2[k]);
-        __builtin_prefetch(&bend[fastbits[(u32)k >> shift]]);
-      } else {
-        // single trailing byte (only the last chain, odd total): this is
-        // text position n-1 whose char is U[0]
-        out[p] = T[0];
-        pp[t] = p + 1;
-      }
+  const i32 half = r >> 1;       // r is a power of two >= 256 here
+  const i32 lhalf = l >> 1;
+  for (i32 i = 0; i < half; ++i) {
+    u8* op = out + 2 * (size_t)i;
+    for (int t = 0; t < K; ++t, op += r) {
+      i32 k = ck[t];
+      u32 w = bigram_of(k);
+      op[0] = (u8)(w >> 8);
+      op[1] = (u8)(w & 255);
+      k = P2[k];
+      ck[t] = k;
+      __builtin_prefetch(&P2[k]);
+      __builtin_prefetch(&bend[fastbits[(u32)k >> shift]]);
+    }
+    if (i < lhalf) {
+      i32 k = ck[K];
+      u32 w = bigram_of(k);
+      op[0] = (u8)(w >> 8);
+      op[1] = (u8)(w & 255);
+      k = P2[k];
+      ck[K] = k;
+      __builtin_prefetch(&P2[k]);
+      __builtin_prefetch(&bend[fastbits[(u32)k >> shift]]);
     }
   }
+  // odd last-chain length: the final byte is text position n-1 = U[0]
+  if (l & 1) out[n - 1] = T[0];
 
   std::memcpy(T, out, (size_t)n);
   delete[] PSI;
