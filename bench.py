@@ -116,7 +116,7 @@ def measure_default_vs_reference(data: bytes):
             ref_enc_dt = min(ref_enc_dt, time.time() - t0)
 
     dec_dt = ref_dec_dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         restored = b"".join(B.decompress(p) for p in payloads)
         dec_dt = min(dec_dt, time.time() - t0)
