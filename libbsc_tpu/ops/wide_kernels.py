@@ -868,6 +868,30 @@ def _decoder_call(TI: int, IT: int, SROWS: int, MROWS: int, interpret: bool):
     return _build_decode_kernel(TI, IT, SROWS, MROWS, interpret)
 
 
+@functools.lru_cache(maxsize=16)
+def _post_expand_call(R: int, gbpad: int, interpret: bool):
+    """[G, R] records -> [G, gbpad] decoded bytes (tail beyond the group's
+    byte count is padding).  Stable sort by lane keeps each lane's records
+    in emission order; jnp.repeat expands runs in place."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def one_group(meta_f, len_f, cnt):
+        idx = lax.iota(jnp.int32, R)
+        valid = idx < cnt
+        lane = jnp.where(valid, (meta_f >> 8) & 0x7F, 128)
+        sym = jnp.where(valid, meta_f & 0xFF, 0)
+        ln = jnp.where(valid, len_f, 0)
+        _, sym_s, len_s = lax.sort((lane, sym, ln), dimension=0,
+                                   is_stable=True, num_keys=1)
+        return jnp.repeat(sym_s.astype(jnp.uint8), len_s,
+                          total_repeat_length=gbpad)
+
+    del interpret  # plain jnp ops; same path under test and on device
+    return jax.jit(jax.vmap(one_group))
+
+
 def device_decode(payload: bytes, interpret: bool = False):
     """Wide-profile decode with the lockstep state machine on device.
     Returns the decoded bytes, or None when not applicable (falls back to
@@ -935,34 +959,26 @@ def device_decode(payload: bytes, interpret: bool = False):
         jnp.asarray(stream2))
     counts = np.asarray(counts_d)[:, 0]
     used = int(-(-int(counts.max()) // 128)) + 8
-    meta = np.asarray(meta_d[:, :used])
-    lens = np.asarray(len_d[:, :used])
 
-    # expand records into bytes
-    out = np.zeros(isize, dtype=np.uint8)
-    lane_off = np.concatenate([[0], np.cumsum(lane_sz)[:-1]])
-    for g in range(GROUPS):
-        cnt = int(counts[g])
-        mg = meta[g].reshape(-1)[:cnt]
-        lg = lens[g].reshape(-1)[:cnt].astype(np.int64)
-        sym = (mg & 0xFF).astype(np.uint8)
-        lane = (mg >> 8) & 0x7F
-        order = np.argsort(lane, kind="stable")
-        lane_s = lane[order]
-        sym_s = sym[order]
-        len_s = lg[order]
-        # per-lane run offsets
-        within = np.cumsum(len_s) - len_s
-        starts = np.searchsorted(lane_s, np.arange(129))
-        base_fix = np.zeros(cnt, dtype=np.int64)
-        for lane_i in range(128):
-            a, b = starts[lane_i], starts[lane_i + 1]
-            if a < b:
-                base_fix[a:b] = within[a:b] - within[a] \
-                    + lane_off[g * 128 + lane_i]
-        bytes_out = np.repeat(sym_s, len_s)
-        pos = np.repeat(base_fix, len_s) + \
-            (np.arange(len(bytes_out)) -
-             np.repeat(np.cumsum(len_s) - len_s, len_s))
-        out[pos] = bytes_out
-    return out.tobytes()
+    # Expand records into bytes ON DEVICE: a group's lanes occupy one
+    # contiguous span of the output (lane regions ascend globally), and the
+    # kernel emits each lane's records in stream order — so a stable sort of
+    # the records by lane followed by run-length expansion IS the group's
+    # output span.  Only decoded bytes cross the tunnel, not the (much
+    # larger) record arrays.
+    R = 128
+    while R < used * 128 and R < meta_d.shape[1] * 128:
+        R *= 2
+    R = min(R, meta_d.shape[1] * 128)
+    gb = lane_sz.reshape(GROUPS, 128).sum(axis=1).astype(np.int64)
+    GBpad = 1 << 10
+    while GBpad < int(gb.max()):
+        GBpad *= 2
+    import jax.numpy as _jnp
+
+    outs = _post_expand_call(R, GBpad, interpret)(
+        meta_d[:, : R // 128, :].reshape(GROUPS, R),
+        len_d[:, : R // 128, :].reshape(GROUPS, R),
+        _jnp.asarray(counts.astype(np.int32)))
+    res = np.asarray(outs)
+    return b"".join(res[g, : gb[g]].tobytes() for g in range(GROUPS))
