@@ -971,9 +971,11 @@ def device_decode(payload: bytes, interpret: bool = False):
         R *= 2
     R = min(R, meta_d.shape[1] * 128)
     gb = lane_sz.reshape(GROUPS, 128).sum(axis=1).astype(np.int64)
+    # geometric 1.25x pad steps: D2H ships GROUPS*GBpad bytes, so a 2x
+    # bucket would nearly double the transfer for nothing
     GBpad = 1 << 10
     while GBpad < int(gb.max()):
-        GBpad *= 2
+        GBpad = (GBpad * 5 + 3) // 4
     import jax.numpy as _jnp
 
     outs = _post_expand_call(R, GBpad, interpret)(
