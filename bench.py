@@ -208,6 +208,9 @@ def measure_farm(data: bytes):
             "bytes": sum(len(p) for p in ordered)}
 
 
+_BENCH_T0 = 0.0
+
+
 def measure_wide(data: bytes):
     """CODER_QLFC_WIDE on-chip entropy coding (the Pallas lockstep coder)
     on the first 16 MB block's BWT output: kernel-only rate plus the
@@ -243,14 +246,20 @@ def measure_wide(data: bytes):
             payload = wide_kernels.device_encode(db)
             e2e = min(e2e, _t.time() - t0)
 
-        # on-chip DECODE (lockstep state machine + tiered MTF)
-        back = wide_kernels.device_decode(payload)  # warm-up (compile)
-        assert back == db
-        dec_best = float("inf")
-        for _i in range(2):
-            t0 = _t.time()
-            back = wide_kernels.device_decode(payload)
-            dec_best = min(dec_best, _t.time() - t0)
+        # on-chip DECODE (lockstep state machine + tiered MTF).  The decode
+        # kernel is the biggest program in the repo (~7-18 min to compile
+        # over the remote-compile tunnel depending on server load); skip it
+        # if this bench run has already burned its budget so the headline
+        # numbers always land.
+        dec_best = None
+        if _t.time() - _BENCH_T0 < 1500:
+            back = wide_kernels.device_decode(payload)  # warm-up (compile)
+            assert back == db
+            dec_best = float("inf")
+            for _i in range(2):
+                t0 = _t.time()
+                back = wide_kernels.device_decode(payload)
+                dec_best = min(dec_best, _t.time() - t0)
 
         # kernel-only timing (cached arrays)
         lib = native_mod.load()
@@ -277,16 +286,21 @@ def measure_wide(data: bytes):
             u, c, f = call(ctx_d, bit_d)
             _ = int(jnp.sum(c[:, 0]))
             best = min(best, _t.time() - t0)
-        return {"kernel_mbs": round(n / 1e6 / best, 1),
-                "e2e_mbs": round(n / 1e6 / e2e, 1),
-                "decode_e2e_mbs": round(n / 1e6 / dec_best, 1),
-                "bytes": len(payload),
-                "host_qlfc_static_mbs": 68.0}
+        res = {"kernel_mbs": round(n / 1e6 / best, 1),
+               "e2e_mbs": round(n / 1e6 / e2e, 1),
+               "bytes": len(payload),
+               "host_qlfc_static_mbs": 68.0}
+        if dec_best is not None:
+            res["decode_e2e_mbs"] = round(n / 1e6 / dec_best, 1)
+        return res
     except Exception:
         return None
 
 
 def main() -> None:
+    global _BENCH_T0
+    import time as _t
+    _BENCH_T0 = _t.time()
     import libbsc_tpu as B
     from libbsc_tpu import constants as C
 
