@@ -192,3 +192,18 @@ def test_st_failback_layout_roundtrip(lib, oracle, rng):
     orc = oracle.o_st_decode(oT.ctypes.data_as(u8p), n, 5, idx, 0)
     assert orc == 0
     assert np.array_equal(oT[:n], data)
+
+
+@pytest.mark.parametrize("k", [3, 4, 5, 6, 7, 8])
+def test_st_tiny_inputs_roundtrip(lib, rng, k):
+    """n < k exercises the wrap-around padding of the split-key forward
+    transforms (st.cc padded_src); every tiny size must round-trip."""
+    for n in range(2, 24):
+        for alpha in (4, 256):
+            d = rng.integers(0, alpha, n).astype(np.uint8)
+            T = d.copy()
+            idx = lib.tbsc_st_encode(native._u8p(T), n, k, 1)
+            assert idx >= 0
+            D = T.copy()
+            assert lib.tbsc_st_decode(native._u8p(D), n, k, idx, 1) == 0
+            assert np.array_equal(D, d), (k, n, alpha)
