@@ -924,12 +924,12 @@ def device_decode(payload: bytes, interpret: bool = False):
     SROWS = 16
     for g in range(GROUPS):
         st = gstreams[g]
-        k = 0
-        for lane in range(128):
-            if live[g, lane]:
-                warm[g, lane] = (np.uint32(st[k]) << 16) | np.uint32(st[k + 1])
-                k += 2
-        goff[g, :] = k
+        lg = live[g]
+        pos = 2 * (np.cumsum(lg) - lg)  # warm-pair offset per live lane
+        w0 = st[pos[lg]].astype(np.uint32)
+        w1 = st[pos[lg] + 1].astype(np.uint32)
+        warm[g][lg] = (w0 << 16) | w1
+        goff[g, :] = 2 * int(lg.sum())
         SROWS = max(SROWS, -(-(len(st)) // 128) + 16)
     SROWS = -(-SROWS // 8) * 8
     stream = np.zeros((GROUPS, SROWS, 128), dtype=np.int32)
