@@ -246,13 +246,17 @@ def decompress(block: bytes, expected_size: int | None = None) -> bytes:
 
                 with stage("coder_decompress_wide_tpu", len(payload)):
                     out = wide_kernels.device_decode(payload)
-                lz = (np.frombuffer(out, dtype=np.uint8)
+                # .copy(): downstream stages (unbwt/unst/lzp) write in place;
+                # frombuffer over bytes is read-only.
+                lz = (np.frombuffer(out, dtype=np.uint8).copy()
                       if out is not None else None)
             except Exception:
                 lz = None
         if lz is None:
             with stage("coder_decompress_wide", len(payload)):
-                lz = np.frombuffer(wide.wide_decode(payload), dtype=np.uint8)
+                lz = np.frombuffer(
+                    wide.wide_decode(payload), dtype=np.uint8
+                ).copy()
     else:
         with stage("coder_decompress", len(payload)):
             lz = engine.coder_decompress(

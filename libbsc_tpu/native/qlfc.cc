@@ -203,8 +203,6 @@ static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
   enum { CHUNK = 1 << 14 };
   int heads[CHUNK + 1];
   int i = n - 1;        // last unprocessed position
-  u8 right = input[n - 1];  // symbol at i+1 during head detection
-  (void)right;
   while (i >= 0) {
     const int lo = (i + 1 >= CHUNK) ? i + 1 - CHUNK : 0;
     // collect run-head positions h in (lo, i]: input[h] != input[h-1]

@@ -572,7 +572,9 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
   for (int k = 0; k < L; ++k) {
     if (lanes[k].phase == PH_DONE) continue;
     int g = k / GROUP;
-    lanes[k].code = (get16(g) << 16) | get16(g);
+    u32 w0 = get16(g);  // sequenced: operand order of | is unspecified and
+    u32 w1 = get16(g);  // both calls advance the group cursor
+    lanes[k].code = (w0 << 16) | w1;
   }
 
   std::vector<int> refills;

@@ -121,6 +121,19 @@ def test_wide_device_decode_parity_interpret(rng):
     assert back == d
 
 
+def test_wide_decode_under_numpy_fallback_engine(rng, monkeypatch):
+    """Wide archives must decode when the native build is unavailable: the
+    numpy fallback stages write in-place, so the decoded buffer handed to
+    them must be writable (regression: read-only np.frombuffer view)."""
+    from libbsc_tpu import engine
+
+    data = make_corpus(rng, 60_000, "text")
+    blob = api.compress(data, coder=C.CODER_QLFC_WIDE)
+    monkeypatch.setattr(engine, "_native", None)
+    monkeypatch.setattr(engine, "_force", "numpy")
+    assert api.decompress(blob) == data
+
+
 def test_wide_corrupt_stream_raises_not_crashes(rng):
     """Bit flips in a wide block must surface as DATA_CORRUPT via the API's
     adler check (or a decode error), never crash or overrun."""
