@@ -370,6 +370,13 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
     }
   }
 
+  // per-char LMS counts for the interval placement before the final induce;
+  // points into hist4 (stride 4) while tbl lives, or a saved copy when the
+  // recursion frees tbl
+  const i32* lmscnt = hist4 + cSL;
+  i32 lmscnt_stride = 4;
+  i32* lmscnt_saved = nullptr;
+
   if (m > 1) {
     const i32 f = lms_text[0];
 
@@ -543,18 +550,36 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
       // the level (skips the post-recursion recount); otherwise free them
       // so peak memory stays bounded and recount afterwards
       const bool keep_tbl = (size_t)14 * (size_t)k <= (size_t)n;
-      if (!keep_tbl) { delete[] tbl; tbl = nullptr; }
+      if (!keep_tbl) {
+        // the interval placement after the recursion needs the per-char LMS
+        // counts, which live in hist4 — save them before tbl goes away
+        lmscnt_saved = new (std::nothrow) i32[(size_t)k];
+        if (!lmscnt_saved) {
+          delete[] tbl; sc->oom = true; sc->lms_used -= (size_t)m; return;
+        }
+        for (i32 c = 0; c < k; ++c)
+          lmscnt_saved[c] = hist4[4 * (size_t)c + cSL];
+        lmscnt = lmscnt_saved;
+        lmscnt_stride = 1;
+        delete[] tbl; tbl = nullptr;
+      }
       i32* s1 = SA + n - m;
       for (i32 j = 0; j < m; ++j) s1[j] = name_by_pos[lms_text[j] >> 1] - 1;
       sais_dense<i32>(s1, SA, m, names, sc);
-      if (sc->oom) { delete[] tbl; sc->lms_used -= (size_t)m; return; }
+      if (sc->oom) {
+        delete[] tbl; delete[] lmscnt_saved;
+        sc->lms_used -= (size_t)m; return;
+      }
       for (i32 j = 0; j < m; ++j) {
         if (j + 32 < m) __builtin_prefetch(&lms_text[SA[j + 32]]);
         SA[j] = lms_text[SA[j]];
       }
       if (!keep_tbl) {
         tbl = new (std::nothrow) i32[(size_t)4 * k];
-        if (!tbl) { sc->oom = true; sc->lms_used -= (size_t)m; return; }
+        if (!tbl) {
+          delete[] lmscnt_saved;
+          sc->oom = true; sc->lms_used -= (size_t)m; return;
+        }
         total = tbl; bstart = tbl + k;
         std::memset(total, 0, sizeof(i32) * (size_t)k);
         for (i32 i = 0; i < n; ++i) total[T[i]]++;
@@ -569,18 +594,28 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
 
   // ---- final induce ----
   {
-    i32* lms_sorted = sc->scratch;
-    for (i32 j = 0; j < m; ++j) lms_sorted[j] = SA[j];
-    std::memset(SA, 0, sizeof(i32) * (size_t)n);
-    i32* tmpk = tbl + 2 * (size_t)k;  // free space in both tbl layouts
-    {
-      i32* btail = tmpk;
-      for (i32 c = 0; c < k; ++c) btail[c] = bstart[c] + total[c];
-      for (i32 j = m - 1; j >= 0; --j) {
-        i32 p = lms_sorted[j];
-        SA[--btail[T[p]]] = p;
+    // Interval placement (the libsais place_lms_suffixes_interval trick,
+    // libsais.c:4369-4391, re-derived): SA[0..m) holds the sorted LMS,
+    // already grouped by first char ascending, so each char's block moves
+    // right-to-left to its bucket tail with one memmove and the gaps are
+    // zeroed — a single sequential pass over SA instead of the old
+    // copy-out + full memset + random scatter.
+    i32 mm = m;
+    i32 j = n;
+    for (i32 c = k - 1; c >= 0; --c) {
+      i32 l = lmscnt[(size_t)lmscnt_stride * c];
+      if (l > 0) {
+        i32 bt = bstart[c] + total[c];
+        if (j > bt)
+          std::memset(SA + bt, 0, sizeof(i32) * (size_t)(j - bt));
+        mm -= l;
+        std::memmove(SA + bt - l, SA + mm, sizeof(i32) * (size_t)l);
+        j = bt - l;
       }
     }
+    std::memset(SA, 0, sizeof(i32) * (size_t)j);
+    delete[] lmscnt_saved;
+    i32* tmpk = tbl + 2 * (size_t)k;  // free space in both tbl layouts
     if (sizeof(CharT) == 1 && sc->bwt_mode)
       final_induce<CharT, true>(T, SA, n, k, bstart, total, tmpk, sc);
     else
