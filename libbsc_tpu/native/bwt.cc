@@ -529,10 +529,16 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
 
     // Renumber.  [0, m) was filled descending, so a mark on slot j means
     // "differs from slot j+1"; names ascend, boundary read from slot j-1.
+    // Fused singleton detection: entry j is a singleton group (its LMS
+    // substring is globally unique) iff it starts a group (carry-in) AND the
+    // next entry starts one too (its own mark; the last entry's group ends
+    // at m, so only carry-in matters there).  Unique entries get the sign
+    // bit on their name — consumed by the compaction below, masked off
+    // everywhere else.
     i32* name_by_pos = sc->scratch;
     i32 names = 1;
     {
-      i32 carry = 0;
+      i32 carry = 0;  // mark(j-1); entry 0 implicitly starts a group
       for (i32 j = 0; j < m; ++j) {
         if (j + 32 < m) __builtin_prefetch(
             &name_by_pos[(SA[j + 32] & IMAX) >> 1], 1);
@@ -540,7 +546,10 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
         i32 p = praw & IMAX;
         SA[j] = p;
         names += carry;
-        name_by_pos[p >> 1] = names;
+        i32 in_j = carry | (j == 0);          // j starts a group
+        i32 in_next = (praw < 0) | (j == m - 1);  // j+1 starts one (or end)
+        name_by_pos[p >> 1] =
+            names | (i32)((u32)(in_j & in_next) << 31);
         carry = (praw < 0);
       }
     }
@@ -563,16 +572,97 @@ static void sais_dense(const CharT* T, i32* SA, i32 n, i32 k, Scratch* sc) {
         lmscnt_stride = 1;
         delete[] tbl; tbl = nullptr;
       }
-      i32* s1 = SA + n - m;
-      for (i32 j = 0; j < m; ++j) s1[j] = name_by_pos[lms_text[j] >> 1] - 1;
-      sais_dense<i32>(s1, SA, m, names, sc);
+      // --- unique-LMS compaction (independently derived; same end effect
+      // as libsais's compact_lms path, libsais.c:5876-6140).  A suffix
+      // comparison between two LMS suffixes with equal names proceeds over
+      // equal (hence non-unique) names and stops at the first difference;
+      // an element whose TEXT-predecessor is unique can therefore never be
+      // reached at offset >= 1, and if its own substring is also unique its
+      // final rank is simply its substring rank.  Such elements are dropped
+      // from the recursion string (their ranks recorded), the kept names are
+      // densely renamed, and the child result is merged back by rank. ---
+      i32 f = 0;
+      // few names => heavy duplication => few unique pairs; skip the
+      // candidate scan entirely (signs are masked everywhere downstream)
+      if ((size_t)4 * (size_t)names >= (size_t)m) {
+        // downgrade uniqueness marks to removability marks; text order
+        i32 prev_uniq = 0;
+        const i32 mlast = m - 1;
+        for (i32 j = 0; j < m; ++j) {
+          i32 idx = lms_text[j] >> 1;
+          i32 v = name_by_pos[idx];
+          i32 uniq = (i32)((u32)v >> 31);
+          i32 rem = uniq & prev_uniq & (i32)(j < mlast);
+          f += rem;
+          if (uniq & ~rem) name_by_pos[idx] = v & IMAX;
+          prev_uniq = uniq;
+        }
+      }
+      const bool compact = f >= (m >> 4) && f > 64;
+      i32 mstar = m, knew = names;
+      i32* pairs = nullptr;  // (rank, text pos) of removed, rank-ascending
+      if (compact) {
+        pairs = new (std::nothrow) i32[2 * (size_t)f];
+        if (!pairs) {
+          delete[] tbl; delete[] lmscnt_saved;
+          sc->oom = true; sc->lms_used -= (size_t)m; return;
+        }
+        // sorted pass: collect removed (rank, pos); densely rename kept
+        i32 nn = 0, prev_nm = 0, w = 0;
+        for (i32 j = 0; j < m; ++j) {
+          i32 p = SA[j];
+          i32 v = name_by_pos[p >> 1];
+          i32 nm = v & IMAX;
+          if (v < 0) {
+            pairs[w++] = j;
+            pairs[w++] = p;
+          } else {
+            nn += (nm != prev_nm);
+            name_by_pos[p >> 1] = nn;
+          }
+          prev_nm = nm;
+        }
+        mstar = m - f;
+        knew = nn;
+      }
+      i32* s1 = SA + n - mstar;
+      if (compact) {
+        // text pass: compact lms_text in place; build the reduced string
+        i32 kk = 0;
+        for (i32 j = 0; j < m; ++j) {
+          i32 p = lms_text[j];
+          i32 v = name_by_pos[p >> 1];
+          if (v >= 0) {
+            lms_text[kk] = p;
+            s1[kk] = v - 1;
+            ++kk;
+          }
+        }
+      } else {
+        for (i32 j = 0; j < m; ++j)
+          s1[j] = (name_by_pos[lms_text[j] >> 1] & IMAX) - 1;
+      }
+      sais_dense<i32>(s1, SA, mstar, knew, sc);
       if (sc->oom) {
-        delete[] tbl; delete[] lmscnt_saved;
+        delete[] tbl; delete[] lmscnt_saved; delete[] pairs;
         sc->lms_used -= (size_t)m; return;
       }
-      for (i32 j = 0; j < m; ++j) {
-        if (j + 32 < m) __builtin_prefetch(&lms_text[SA[j + 32]]);
+      for (i32 j = 0; j < mstar; ++j) {
+        if (j + 32 < mstar) __builtin_prefetch(&lms_text[SA[j + 32]]);
         SA[j] = lms_text[SA[j]];
+      }
+      if (compact) {
+        // merge removed back at their substring ranks, backward in place
+        i32 a = f - 1, b = mstar;
+        for (i32 s = m - 1; s >= 0; --s) {
+          if (a >= 0 && pairs[2 * a] == s) {
+            SA[s] = pairs[2 * a + 1];
+            --a;
+          } else {
+            SA[s] = SA[--b];
+          }
+        }
+        delete[] pairs;
       }
       if (!keep_tbl) {
         tbl = new (std::nothrow) i32[(size_t)4 * k];

@@ -95,6 +95,42 @@ def test_bwt_roundtrip(lib, rng, kind):
             assert np.array_equal(D, data), (kind, n, use_aux)
 
 
+def test_bwt_matches_reference_compaction_stress(lib, oracle, rng):
+    """Inputs tuned to exercise the unique-LMS compaction in the SA-IS
+    recursion (bwt.cc): high LMS-substring uniqueness (random, hex-token
+    soup) next to highly repetitive structure (fibonacci word, nested
+    periods) at sizes above the compaction thresholds."""
+    corpora = []
+    corpora.append(rng.integers(0, 256, size=1 << 20, dtype=np.uint8)
+                   .tobytes())
+    toks = [("%x" % h).encode() for h in rng.integers(0, 1 << 60, size=4096)]
+    out = bytearray()
+    while len(out) < (1 << 20):
+        out += toks[rng.integers(0, len(toks))] + b" "
+    corpora.append(bytes(out[: 1 << 20]))
+    fib_a, fib_b = b"a", b"ab"
+    while len(fib_b) < (1 << 20):
+        fib_a, fib_b = fib_b, fib_b + fib_a
+    corpora.append(fib_b[: 1 << 20])
+    corpora.append(((b"xy" * 37 + b"z") * 4096)[: 1 << 20])
+    for data in corpora:
+        n = len(data)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        oT = arr.copy()
+        oni = ctypes.c_ubyte(0)
+        oI = (ctypes.c_int * 256)()
+        orc = oracle.o_bwt_encode(oT.ctypes.data_as(u8p), n,
+                                  ctypes.byref(oni), oI, 0)
+        mT = arr.copy()
+        mni = np.zeros(1, dtype=np.uint8)
+        mI = np.zeros(256, dtype=np.int32)
+        mrc = lib.tbsc_bwt_encode(native._u8p(mT), n, native._u8p(mni),
+                                  native._i32p(mI), 1)
+        assert (orc, oni.value) == (mrc, mni[0])
+        assert np.array_equal(oT, mT)
+        assert all(oI[t] == mI[t] for t in range(oni.value))
+
+
 # --- ST ---
 
 @pytest.mark.parametrize("k", [3, 4, 5, 6, 7, 8])
