@@ -19,6 +19,7 @@ int lzp_decompress(const uint8_t*, uint8_t*, int, int, int, int);
 int bwt_encode(uint8_t*, int, uint8_t*, int32_t*, int);
 int bwt_decode(uint8_t*, int, int, int, const int32_t*, int);
 int st_encode(uint8_t*, int, int, int);
+uint32_t adler32(const uint8_t*, int64_t, uint32_t);
 int st_decode(uint8_t*, int, int, int, int);
 int wide_encode(const uint8_t*, int64_t, uint8_t*, int64_t, int, const int32_t*);
 int wide_balanced_sizes(const uint8_t*, int64_t, int, int32_t*);
@@ -106,6 +107,10 @@ int tbsc_wide_ranks(const uint8_t* in, int64_t n, int n_lanes, int cap,
 int tbsc_wide_schedule(const uint8_t* in, int64_t n, int n_lanes, int cap,
                        uint8_t* ctx, uint8_t* bit, const int32_t* sizes) {
   return tbsc::wide_schedule(in, n, n_lanes, cap, ctx, bit, sizes);
+}
+
+uint32_t tbsc_adler32(const uint8_t* p, int64_t n, uint32_t adler) {
+  return tbsc::adler32(p, n, adler);
 }
 
 int tbsc_st_decode(uint8_t* T, int n, int k, int index, int num_threads) {

@@ -13,6 +13,7 @@ chunks are <= 2048 elements) and combined with modular arithmetic.
 
 from __future__ import annotations
 
+import ctypes
 import zlib
 
 import numpy as np
@@ -20,9 +21,40 @@ import numpy as np
 BASE = 65521
 _CHUNK = 2048  # 2048*2049/2*255 < 2**31, so int32 chunk accumulators are safe
 
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_native_fn = None  # None = untried, False = unavailable
+
+
+def _native():
+    global _native_fn
+    if _native_fn is None:
+        try:
+            from .. import native as native_mod
+
+            if native_mod.available():
+                _native_fn = native_mod.load().tbsc_adler32
+            else:
+                _native_fn = False
+        except Exception:
+            _native_fn = False
+    return _native_fn
+
 
 def adler32(data, value: int = 1) -> int:
-    """Host Adler-32 of ``bytes``/buffer, zlib-compatible."""
+    """Host Adler-32 of ``bytes``/buffer, zlib-compatible.
+
+    Uses the AVX2 path in the native runtime when built (the reference has
+    a SIMD Adler-32 too, adler32/adler32.cpp:99); zlib otherwise.
+    """
+    fn = _native()
+    if fn:
+        if isinstance(data, bytes):
+            ptr = ctypes.cast(ctypes.c_char_p(data), _U8P)
+            return fn(ptr, len(data), value & 0xFFFFFFFF)
+        if isinstance(data, np.ndarray) and data.dtype == np.uint8 \
+                and data.flags["C_CONTIGUOUS"]:
+            return fn(data.ctypes.data_as(_U8P), data.nbytes,
+                      value & 0xFFFFFFFF)
     if isinstance(data, np.ndarray):
         data = data.tobytes()
     return zlib.adler32(data, value) & 0xFFFFFFFF
