@@ -798,7 +798,8 @@ int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/)
 // text position later.  The chase uses the SQUARED map P2[j] = PSI[PSI[j]]
 // so each dependent random access emits TWO text bytes — the same halving
 // libsais's biPSI decode gets (libsais.c:7086-7543), reformulated here
-// through an explicit PSI + row-indexed P2.  The two bytes of a step are
+// over suffix rows.  P2 is built directly by a two-pass bigram-bucket
+// scatter (no intermediate PSI array).  The two bytes of a step are
 // the bigram of the current row, recovered from the row number by a
 // fastbits LUT over the cumulative bigram bucket boundaries (rows are
 // grouped by 2-byte prefix since they are suffix-sorted).  The aux indexes
@@ -809,14 +810,14 @@ int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/)
 static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
                         const i32* indexes, int r) {
   const i32 nrows = n + 1;
-  i32* PSI = new (std::nothrow) i32[(size_t)nrows];
   i32* P2 = new (std::nothrow) i32[(size_t)nrows];
   u32* bend = new (std::nothrow) u32[65536];
+  u32* cur2 = new (std::nothrow) u32[65536];
   constexpr int FASTBITS = 17;
   uint16_t* fastbits = new (std::nothrow) uint16_t[(size_t)1 << FASTBITS];
   u8* out = new (std::nothrow) u8[(size_t)n];
-  if (!PSI || !P2 || !bend || !fastbits || !out) {
-    delete[] PSI; delete[] P2; delete[] bend; delete[] fastbits; delete[] out;
+  if (!P2 || !bend || !cur2 || !fastbits || !out) {
+    delete[] P2; delete[] bend; delete[] cur2; delete[] fastbits; delete[] out;
     return -2;
   }
 
@@ -830,37 +831,67 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
     rowlo[256] = sum;
   }
 
-  // PSI + bigram counts in one scan: for ascending BWT positions u, the
-  // LF-rank of that occurrence maps back to row(u) = u + (u >= index).
-  // row(u) ascends with u, so the char of the written VALUE (the second
-  // char of the target row) comes from one merge pointer over the char
-  // boundaries — no separate bigram pass.
+  // Direct P2 (squared-PSI) construction, no intermediate PSI array — the
+  // two-pass bigram-bucket scheme libsais uses for its biPSI
+  // (libsais.c:7086-7121), re-derived for this row convention.  For BWT
+  // position u: q = LF-row of row(u) consumed in ascending order per char
+  // (front cursor), and the TEXT-predecessor char of q is read straight
+  // from the BWT at q's own BWT position u2 = q - (q > index) — a byte
+  // gather over 256 ascending streams, 4x denser than re-reading an i32
+  // PSI array.  Rows grouped by their leading bigram (c0,c1) are exactly
+  // the contiguous row ranges of the cumulative bigram histogram, so the
+  // scatter writes P2[q2] for ascending q2 within each bucket.
+  // Special rows: q == index => q2 is the sentinel row 0 (P2[0]);
+  // the length-1 suffix row R1 is never a q2 (it is LF(sentinel)) and
+  // gets P2[R1] = index (its PSI is the sentinel, whose PSI is primary).
   {
     i32 front[256];
     std::memcpy(front, rowlo, sizeof front);
-    PSI[0] = index;
     std::memset(bend, 0, 65536 * sizeof(u32));
-    constexpr int PF = 64;
-    int c2 = 0;
+    constexpr int PF = 48;
     for (int u = 0; u < n; ++u) {
-      if (u + PF < n) __builtin_prefetch(&PSI[front[T[u + PF]]], 1);
+      if (u + PF < n) {
+        i32 fq = front[T[u + PF]];
+        __builtin_prefetch(&T[fq - (fq > index)]);
+      }
       const u8 c1 = T[u];
-      const i32 row = u + (u >= index ? 1 : 0);
-      PSI[front[c1]++] = row;
-      while (row >= rowlo[c2 + 1]) ++c2;
-      // u == 0 targets row 0's successor slot (the length-1 suffix's PSI
-      // entry is the one with value 0) — it has no second char
-      bend[((i32)c1 << 8) | c2] += (u != 0);
+      const i32 q = front[c1]++;
+      if (q == index) continue;
+      const i32 u2 = q - (q > index);
+      bend[((u32)T[u2] << 8) | c1]++;
     }
+  }
+  i32 R1;  // row of the length-1 suffix (pseudo slot)
+  {
     // cumulative bucket ENDS over row space: row 0 (sentinel) first, the
     // length-1 suffix as a pseudo slot at the head of its char bucket
     const int pseudo_c1 = T[0];  // U[0] = last text char = that suffix's char
     u32 sum = 1;                 // sentinel row
+    R1 = 1;
     for (int w = 0; w < 65536; ++w) {
-      if ((w >> 8) == pseudo_c1 && (w & 255) == 0) sum += 1;
+      if ((w >> 8) == pseudo_c1 && (w & 255) == 0) { R1 = (i32)sum; sum += 1; }
+      cur2[w] = sum;  // bucket START (post sentinel/pseudo adjustments)
       sum += bend[w];
       bend[w] = sum;
     }
+  }
+  {
+    i32 front[256];
+    std::memcpy(front, rowlo, sizeof front);
+    constexpr int PF = 48;
+    for (int u = 0; u < n; ++u) {
+      if (u + PF < n) {
+        i32 fq = front[T[u + PF]];
+        __builtin_prefetch(&T[fq - (fq > index)]);
+      }
+      const u8 c1 = T[u];
+      const i32 q = front[c1]++;
+      const i32 rowu = u + (u >= index ? 1 : 0);
+      if (q == index) { P2[0] = rowu; continue; }
+      const i32 u2 = q - (q > index);
+      P2[cur2[((u32)T[u2] << 8) | c1]++] = rowu;
+    }
+    P2[R1] = index;
   }
 
   // fastbits: high bits of a row number -> first bucket that can contain it
@@ -872,17 +903,6 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
       i32 row = (i32)v << shift;
       while (w < 65535 && (i32)bend[w] <= row) ++w;
       fastbits[v] = (uint16_t)w;
-    }
-  }
-
-  // P2 = PSI applied twice; PSI ascends per char bucket, so the gather
-  // walks 256 ascending streams (cache-friendly).
-  {
-    constexpr int PF = 32;
-    P2[0] = PSI[index];
-    for (i32 j = 1; j < nrows; ++j) {
-      if (j + PF < nrows) __builtin_prefetch(&PSI[PSI[j + PF]]);
-      P2[j] = PSI[PSI[j]];
     }
   }
 
@@ -932,9 +952,9 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
   if (l & 1) out[n - 1] = T[0];
 
   std::memcpy(T, out, (size_t)n);
-  delete[] PSI;
   delete[] P2;
   delete[] bend;
+  delete[] cur2;
   delete[] fastbits;
   delete[] out;
   return 0;
