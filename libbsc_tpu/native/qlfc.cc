@@ -179,6 +179,30 @@ static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
 
   int idx = n, n_sym = 0;
 
+#if defined(__AVX2__)
+  // Rank-vector formulation (the VPU-shaped form of the MTF update, same
+  // idea as the reference's SIMD rank update qlfc.cpp:220-227): keep
+  // rank_of[sym] and, per run, increment every rank below the emitted one
+  // with a masked compare-subtract over eight 32-byte lanes.  O(1) per run
+  // instead of an O(rank) list walk — the deep-rank (high entropy) regions
+  // after a BWT make the walk the dominant cost.
+  alignas(32) u8 rank_of[256];
+  for (int i = 0; i < 256; ++i) rank_of[i] = (u8)i;
+  if (input[n - 1] == 0) { rank_of[0] = 1; rank_of[1] = 0; }
+  const __m256i bias = _mm256_set1_epi8((char)0x80);
+  auto emit_run = [&](u8 c) {
+    int rank = rank_of[c];
+    const __m256i rv = _mm256_set1_epi8((char)(rank ^ 0x80));
+    for (int g = 0; g < 256; g += 32) {
+      __m256i v = _mm256_load_si256((const __m256i*)(rank_of + g));
+      __m256i lt = _mm256_cmpgt_epi8(rv, _mm256_xor_si256(v, bias));
+      _mm256_store_si256((__m256i*)(rank_of + g), _mm256_sub_epi8(v, lt));
+    }
+    rank_of[c] = 0;
+    if (!seen[c]) { seen[c] = 1; rank = n_sym++; }
+    buffer[--idx] = (u8)rank;
+  };
+#else
   // move-to-front walk for one run's symbol; emits the rank (appearance
   // index on first occurrence)
   auto emit_run = [&](u8 c) {
@@ -195,6 +219,7 @@ static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
     if (!seen[c]) { seen[c] = 1; rank = n_sym++; }
     buffer[--idx] = (u8)rank;
   };
+#endif
 
   // Backward run iteration in chunks: run heads inside each chunk are found
   // with a wide equality scan (input[i] != input[i+1] marks a head at i+1),
@@ -250,6 +275,11 @@ static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
     emit_run(c);
   }
   buffer[n - 1] = 1;
+
+#if defined(__AVX2__)
+  // materialize the final MTF table from the rank permutation
+  for (int s = 0; s < 256; ++s) mtf[rank_of[s]] = (u8)s;
+#endif
 
   // Mark the end of the used alphabet with a duplicate entry.
   for (int r = 1; r < 256; ++r) {
