@@ -104,7 +104,7 @@ def measure_default_vs_reference(data: bytes):
     enc_dt = ref_enc_dt = float("inf")
     payloads = None
     sizes = []
-    for _ in range(3):
+    for _ in range(5):
         pl, sz, mine, theirs = [], [], 0.0, 0.0
         for blk, ob in zip(blocks, outbufs if lib is not None else blocks):
             t0 = time.time()
@@ -124,7 +124,7 @@ def measure_default_vs_reference(data: bytes):
             ref_enc_dt = min(ref_enc_dt, theirs)
 
     dec_dt = ref_dec_dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         parts, mine, theirs = [], 0.0, 0.0
         for bi, (blk, p) in enumerate(zip(blocks, payloads)):
             t0 = time.time()
