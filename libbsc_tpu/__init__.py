@@ -58,6 +58,7 @@ from .api import (
     store,
     block_info,
     decompress,
+    decompress_batch,
     decompress_inplace,
     BscError,
 )
@@ -72,6 +73,7 @@ __all__ = [
     "store",
     "block_info",
     "decompress",
+    "decompress_batch",
     "decompress_inplace",
     "BscError",
     "__version__",

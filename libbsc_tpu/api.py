@@ -203,9 +203,12 @@ def compress(
     return header + payload
 
 
-def decompress(block: bytes, expected_size: int | None = None) -> bytes:
-    """bsc_decompress: decompress one block (header + payload)."""
-    _ensure_init()
+def _decode_to_sorter(block: bytes, expected_size: int | None = None):
+    """Header/adler validation + entropy decode; stops before the sorter.
+
+    Returns either the final bytes (stored blocks) or a dict with the
+    entropy-decoded buffer and everything the sorter + postprocessing need.
+    """
     from . import engine
 
     h = parse_block_header(block)
@@ -266,21 +269,26 @@ def decompress(block: bytes, expected_size: int | None = None) -> bytes:
     if isinstance(lz, int):
         raise BscError(lz, _ERROR_NAMES.get(lz, str(lz)))
 
-    if block_sorter == C.BLOCKSORTER_BWT:
-        with stage("bwt_decode", len(lz)):
-            rc = engine.bwt_decode(lz, h.index, num_indexes, indexes, features)
-    elif C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8:
-        with stage(f"st{block_sorter}_decode", len(lz)):
-            rc = engine.st_decode(lz, block_sorter, h.index, features)
-    else:
+    if not (block_sorter == C.BLOCKSORTER_BWT
+            or C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8):
         raise BscError(C.DATA_CORRUPT)
-    if rc < 0:
-        raise BscError(rc, _ERROR_NAMES.get(rc, str(rc)))
+    return {
+        "h": h, "lz": lz, "sorter": block_sorter,
+        "num_indexes": num_indexes, "indexes": indexes,
+        "lzp_hash_size": lzp_hash_size, "lzp_min_len": lzp_min_len,
+    }
 
-    if lzp_hash_size or lzp_min_len:
+
+def _finish_decode(st) -> bytes:
+    """Postprocessing after the sorter: LZP + size/adler verification."""
+    from . import engine
+
+    h, lz = st["h"], st["lz"]
+    if st["lzp_hash_size"] or st["lzp_min_len"]:
         with stage("lzp_decompress", len(lz)):
-            out = engine.lzp_decompress(lz, lzp_hash_size, lzp_min_len, features,
-                                        capacity=h.data_size + 4096)
+            out = engine.lzp_decompress(
+                lz, st["lzp_hash_size"], st["lzp_min_len"], _features,
+                capacity=h.data_size + 4096)
     else:
         out = lz
 
@@ -288,6 +296,61 @@ def decompress(block: bytes, expected_size: int | None = None) -> bytes:
     if len(result) != h.data_size or h.adler32_data != adler32(result):
         raise BscError(C.DATA_CORRUPT)
     return result
+
+
+def _run_sorter(st) -> None:
+    from . import engine
+
+    h, lz = st["h"], st["lz"]
+    if st["sorter"] == C.BLOCKSORTER_BWT:
+        with stage("bwt_decode", len(lz)):
+            rc = engine.bwt_decode(lz, h.index, st["num_indexes"],
+                                   st["indexes"], _features)
+    else:
+        with stage(f"st{st['sorter']}_decode", len(lz)):
+            rc = engine.st_decode(lz, st["sorter"], h.index, _features)
+    if rc < 0:
+        raise BscError(rc, _ERROR_NAMES.get(rc, str(rc)))
+
+
+def decompress(block: bytes, expected_size: int | None = None) -> bytes:
+    """bsc_decompress: decompress one block (header + payload)."""
+    _ensure_init()
+    st = _decode_to_sorter(block, expected_size)
+    if isinstance(st, bytes):
+        return st
+    _run_sorter(st)
+    return _finish_decode(st)
+
+
+def decompress_batch(blocks: list) -> list:
+    """Decompress several independent blocks, interleaving the inverse-ST
+    walks of same-order ST blocks in one native loop (engine
+    st_decode_batch) — a serial chase per block, but across blocks the
+    chases run with full memory-level parallelism.  Order of results
+    matches the input order; semantics are identical to mapping
+    :func:`decompress` over the blocks."""
+    _ensure_init()
+    from . import engine
+
+    states = [_decode_to_sorter(b) for b in blocks]
+    st_groups: dict = {}
+    for st in states:
+        if isinstance(st, bytes):
+            continue
+        if C.BLOCKSORTER_ST3 <= st["sorter"] <= C.BLOCKSORTER_ST8:
+            st_groups.setdefault(st["sorter"], []).append(st)
+        else:
+            _run_sorter(st)
+    for k, group in st_groups.items():
+        with stage(f"st{k}_decode_batch", sum(len(s["lz"]) for s in group)):
+            rc = engine.st_decode_batch(
+                [s["lz"] for s in group], k,
+                [s["h"].index for s in group], _features)
+        if rc < 0:
+            raise BscError(rc, _ERROR_NAMES.get(rc, str(rc)))
+    return [st if isinstance(st, bytes) else _finish_decode(st)
+            for st in states]
 
 
 def compress_inplace(buf: bytearray, **kwargs) -> int:

@@ -288,6 +288,35 @@ def st_decode(data: np.ndarray, k: int, index: int, features: int):
     return _pyst.st_decode(data, k, index)
 
 
+def st_decode_batch(arrays: list, k: int, indexes: list, features: int):
+    """Inverse ST of several independent blocks with their backward walks
+    interleaved in one native loop (memory-level parallelism across blocks;
+    one chase is a serial pointer walk).  Arrays are decoded in place.
+    Returns 0 or a negative error code."""
+    lib = _lib()
+    if lib is None:
+        for a, idx in zip(arrays, indexes):
+            rc = st_decode(a, k, idx, features)
+            if rc < 0:
+                return rc
+        return 0
+    import ctypes
+
+    bufs = [_as_c(a) for a in arrays]
+    ptrs = (ctypes.c_void_p * len(bufs))(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs])
+    ns = np.array([len(a) for a in arrays], dtype=np.int32)
+    idxs = np.array(indexes, dtype=np.int32)
+    from .native import _i32p
+
+    rc = lib.tbsc_st_decode_batch(ptrs, _i32p(ns), k, _i32p(idxs), len(bufs))
+    if rc == 0:
+        for a, b in zip(arrays, bufs):
+            if b is not a:
+                a[:] = b
+    return rc
+
+
 # ---------------------------------------------------------------------------
 # Entropy coder
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ int bwt_decode(uint8_t*, int, int, int, const int32_t*, int);
 int st_encode(uint8_t*, int, int, int);
 uint32_t adler32(const uint8_t*, int64_t, uint32_t);
 int st_decode(uint8_t*, int, int, int, int);
+int st_decode_batch(uint8_t**, const int32_t*, int, const int32_t*, int);
 int wide_encode(const uint8_t*, int64_t, uint8_t*, int64_t, int, const int32_t*);
 int wide_balanced_sizes(const uint8_t*, int64_t, int, int32_t*);
 int wide_decode(const uint8_t*, int64_t, uint8_t*, int64_t);
@@ -111,6 +112,11 @@ int tbsc_wide_schedule(const uint8_t* in, int64_t n, int n_lanes, int cap,
 
 uint32_t tbsc_adler32(const uint8_t* p, int64_t n, uint32_t adler) {
   return tbsc::adler32(p, n, adler);
+}
+
+int tbsc_st_decode_batch(uint8_t** Ts, const int32_t* ns, int k,
+                         const int32_t* indexes, int nblocks) {
+  return tbsc::st_decode_batch(Ts, ns, k, indexes, nblocks);
 }
 
 int tbsc_st_decode(uint8_t* T, int n, int k, int index, int num_threads) {

@@ -19,6 +19,8 @@
 #include <cstring>
 #include <new>
 
+#include "halloc.h"
+
 #ifdef _OPENMP
 #include <omp.h>
 #endif
@@ -760,7 +762,7 @@ static int aux_rate(int n) {
 // When indexes != null, writes num_indexes = (n-1)/r sampled ranks.
 int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/) {
   if (n <= 1) { if (num_indexes) *num_indexes = 0; return n; }
-  i32* SA = new (std::nothrow) i32[(size_t)n];
+  i32* SA = (i32*)halloc((size_t)n * sizeof(i32));
   if (!SA) return -2;
   const u8 last = T[n - 1];
   int r = aux_rate(n);
@@ -772,7 +774,7 @@ int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/)
   if (tbsc_fast_sais::suffix_array_fast(
           T, SA, n, true, (i32)r - 1, indexes ? (i32)n_aux * r : -1,
           __builtin_ctz((unsigned)r), indexes, &prim_slot) != 0) {
-    delete[] SA;
+    hfree(SA);
     return -2;
   }
   int primary = (int)prim_slot + 1;
@@ -786,7 +788,7 @@ int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/)
   for (int j = 0; j < primary - 1; ++j) T[j + 1] = (u8)SA[j];
   for (int j = primary; j < n; ++j) T[j] = (u8)SA[j];
   T[0] = last;
-  delete[] SA;
+  hfree(SA);
   return primary;
 }
 
@@ -810,14 +812,14 @@ int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/)
 static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
                         const i32* indexes, int r) {
   const i32 nrows = n + 1;
-  i32* P2 = new (std::nothrow) i32[(size_t)nrows];
+  i32* P2 = (i32*)halloc((size_t)nrows * sizeof(i32));
   u32* bend = new (std::nothrow) u32[65536];
   u32* cur2 = new (std::nothrow) u32[65536];
   constexpr int FASTBITS = 17;
   uint16_t* fastbits = new (std::nothrow) uint16_t[(size_t)1 << FASTBITS];
   u8* out = new (std::nothrow) u8[(size_t)n];
   if (!P2 || !bend || !cur2 || !fastbits || !out) {
-    delete[] P2; delete[] bend; delete[] cur2; delete[] fastbits; delete[] out;
+    hfree(P2); delete[] bend; delete[] cur2; delete[] fastbits; delete[] out;
     return -2;
   }
 
@@ -952,7 +954,7 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
   if (l & 1) out[n - 1] = T[0];
 
   std::memcpy(T, out, (size_t)n);
-  delete[] P2;
+  hfree(P2);
   delete[] bend;
   delete[] cur2;
   delete[] fastbits;

@@ -20,6 +20,8 @@
 #include <cstring>
 #include <new>
 
+#include "halloc.h"
+
 namespace tbsc {
 
 using u8 = uint8_t;
@@ -379,13 +381,30 @@ static bool unst_mark_groups(const u8* T, u32* P, u32* count, int n, int k) {
   return fail_back;
 }
 
-// Layout A (n < 2^23): P[i] packs (char << 24) | leader-flag | link.
-static void unst_rebuild_packed(u8* T, u32* P, const u32* count, int n, int start) {
+// Annotation: convert group marks into per-position walk records.  Three
+// layouts by n / per-char counts:
+//   A (n < 2^23):      P[i] = (char << 24) | leader-flag | absolute link
+//   B (counts < 2^23): P[i] = (char << 24) | leader-flag | bucket-relative link
+//   C (fail-back):     P[i] = link only; char recovered by fastbits search
+// Duplicate (char, group) members point at their leader; the leader's link
+// field counts down as the walk consumes the tie range.
+
+// Layout A' (n < 2^23): singleton (char, group) entries carry their
+// destination directly (no live state, so the walk neither re-reads nor
+// writes them); tie ranges get a dense group id and their countdown
+// counter lives in a COMPACT side array rather than in the leader's P slot.
+// Ties are a small fraction of n, so the counters stay cache-resident and
+// a tie costs one near access instead of a second far P read + dirty line.
+// This replaces the reference's leader-countdown-in-place walk
+// (st.cpp:1100-1130) with a different data layout; outputs are identical.
+static i32 unst_annotate_dense(const u8* T, u32* P, const u32* count, int n,
+                               u32* cnt) {
   u32 index[256];
   i32 group[256];
   std::memcpy(index, count, sizeof index);
   std::memset(group, 0xff, sizeof group);
 
+  i32 ngid = 0;
   for (i32 g = 0, i = 0; i < n; ++i) {
     if (P[i] > 0) g = i;
     u8 c = T[i];
@@ -393,23 +412,24 @@ static void unst_rebuild_packed(u8* T, u32* P, const u32* count, int n, int star
       group[c] = i;
       P[i] = ((u32)c << 24) | index[c];
     } else {
-      P[i] = ((u32)c << 24) | 0x800000u | (u32)group[c];
-      ++P[group[c]];
+      u32 lu = P[group[c]];
+      u32 gid;
+      if (lu & 0x800000u) {
+        gid = lu & 0x7fffffu;
+      } else {
+        gid = (u32)ngid++;
+        cnt[gid] = lu & 0x7fffffu;
+        P[group[c]] = ((u32)c << 24) | 0x800000u | gid;
+      }
+      P[i] = ((u32)c << 24) | 0x800000u | gid;
+      ++cnt[gid];
     }
     ++index[c];
   }
-
-  for (int p = start, i = n - 1; i >= 0; --i) {
-    u32 u = P[p];
-    if (u & 0x800000u) { p = (int)(u & 0x7fffffu); u = P[p]; }
-    T[i] = (u8)(u >> 24);
-    --P[p];
-    p = (int)(u & 0x7fffffu);
-  }
+  return ngid;
 }
 
-// Layout B (larger n, all char counts < 2^23): links relative to the bucket.
-static void unst_rebuild_relative(u8* T, u32* P, const u32* count, int n, int start) {
+static void unst_annotate_relative(const u8* T, u32* P, int n) {
   u32 index[256];
   i32 group[256];
   std::memset(index, 0, sizeof index);
@@ -427,26 +447,11 @@ static void unst_rebuild_relative(u8* T, u32* P, const u32* count, int n, int st
     }
     ++index[c];
   }
-
-  for (int p = start, i = n - 1; i >= 0; --i) {
-    u32 u = P[p];
-    if (u & 0x800000u) { p = p - (int)(u & 0x7fffffu); u = P[p]; }
-    u8 c = (u8)(u >> 24);
-    T[i] = c;
-    --P[p];
-    p = (int)(u & 0x7fffffu) + (int)count[c];
-  }
 }
 
-// Layout C (fail-back): link-only; the char is recovered by locating the
-// rank inside the first-context-byte partition (accelerated lookup table).
-static void unst_rebuild_search(u8* T, u32* P, const u32* count, int n, int start) {
-  constexpr int kFastBits = 10;
-  u8 fastbits[1 << kFastBits];
-  u32 ends[256];
-  i32 group[256];
+static void unst_annotate_search(const u8* T, u32* P, const u32* count, int n) {
   u32 index[256];
-
+  i32 group[256];
   std::memcpy(index, count, sizeof index);
   std::memset(group, 0xff, sizeof group);
 
@@ -462,57 +467,162 @@ static void unst_rebuild_search(u8* T, u32* P, const u32* count, int n, int star
     }
     ++index[c];
   }
+}
 
-  int shift = 0;
-  while (((n - 1) >> shift) >= (1 << kFastBits)) ++shift;
-  {
-    int v = 0;
-    for (int c = 0; c < 256; ++c) {
-      ends[c] = (c + 1 < 256) ? count[c + 1] : (u32)n;
-      if (count[c] != ends[c])
-        for (; v <= (int)((ends[c] - 1) >> shift); ++v) fastbits[v] = (u8)c;
+constexpr int kFastBits = 10;
+
+// Per-block walk state for the interleaved batch walk.
+struct UnstWalk {
+  u8* T;
+  u32* P;
+  u32* cnt;  // layout 0: dense tie countdown counters
+  u32 count[256];
+  int n;
+  int p;       // current position in sorted space
+  int i;       // next output index (walk goes backward)
+  int layout;  // 0 = packed, 1 = relative, 2 = search
+  // layout 2 only:
+  u32 ends[256];
+  u8 fastbits[1 << kFastBits];
+  int shift;
+};
+
+static inline u8 unst_char_of(const UnstWalk& w, int p) {
+  int c = w.fastbits[p >> w.shift];
+  while (w.ends[c] <= (u32)p) ++c;
+  return (u8)c;
+}
+
+// One backward step of a walk; returns false when the block is done.
+static inline bool unst_step(UnstWalk& w) {
+  int p = w.p;
+  switch (w.layout) {
+    case 0: {
+      u32 u = w.P[p];
+      w.T[w.i] = (u8)(u >> 24);
+      if (u & 0x800000u) p = (int)(w.cnt[u & 0x7fffffu]--);
+      else p = (int)(u & 0x7fffffu);
+      break;
+    }
+    case 1: {
+      u32 u = w.P[p];
+      if (u & 0x800000u) { p = p - (int)(u & 0x7fffffu); u = w.P[p]; }
+      u8 c = (u8)(u >> 24);
+      w.T[w.i] = c;
+      --w.P[p];
+      p = (int)(u & 0x7fffffu) + (int)w.count[c];
+      break;
+    }
+    default: {
+      u32 u = w.P[p];
+      if (u & 0x80000000u) { p = (int)(u & 0x7fffffffu); u = w.P[p]; }
+      w.T[w.i] = unst_char_of(w, p);
+      --w.P[p];
+      p = (int)u;
+      break;
     }
   }
+  __builtin_prefetch(&w.P[p]);
+  w.p = p;
+  return --w.i >= (w.layout == 2 ? 1 : 0);
+}
 
-  auto char_of = [&](int p) {
-    int c = fastbits[p >> shift];
-    while (ends[c] <= (u32)p) ++c;
-    return (u8)c;
-  };
-
-  int p = start;
-  if (P[p] & 0x80000000u) p = (int)(P[p] & 0x7fffffffu);
-  T[0] = char_of(p);
-  --P[p];
-  p = (int)P[p] + 1;
-
-  for (int i = n - 1; i >= 1; --i) {
-    u32 u = P[p];
-    if (u & 0x80000000u) { p = (int)(u & 0x7fffffffu); u = P[p]; }
-    T[i] = char_of(p);
-    --P[p];
-    p = (int)u;
+// Prepare one block: group marking + annotation + walk-state init.
+// Returns 0 or a negative error.
+static int unst_prepare(UnstWalk& w, u8* T, int n, int k, int index) {
+  w.T = T;
+  w.n = n;
+  w.P = (u32*)halloc((size_t)n * sizeof(u32));
+  if (!w.P) return -2;
+  std::memset(w.P, 0, (size_t)n * sizeof(u32));
+  bool fail_back = unst_mark_groups(T, w.P, w.count, n, k);
+  if (n < 0x800000) {
+    w.layout = 0;
+    w.cnt = (u32*)halloc(((size_t)n / 2 + 1) * sizeof(u32));
+    if (!w.cnt) return -2;
+    unst_annotate_dense(T, w.P, w.count, n, w.cnt);
+  } else if (!fail_back) {
+    w.layout = 1;
+    unst_annotate_relative(T, w.P, n);
+  } else {
+    w.layout = 2;
+    unst_annotate_search(T, w.P, w.count, n);
+    w.shift = 0;
+    while (((n - 1) >> w.shift) >= (1 << kFastBits)) ++w.shift;
+    int v = 0;
+    for (int c = 0; c < 256; ++c) {
+      w.ends[c] = (c + 1 < 256) ? w.count[c + 1] : (u32)n;
+      if (w.count[c] != w.ends[c])
+        for (; v <= (int)((w.ends[c] - 1) >> w.shift); ++v)
+          w.fastbits[v] = (u8)c;
+    }
   }
+  // first step: the search layout peels the T[0] output specially
+  if (w.layout == 2) {
+    int p = index;
+    if (w.P[p] & 0x80000000u) p = (int)(w.P[p] & 0x7fffffffu);
+    T[0] = unst_char_of(w, p);
+    --w.P[p];
+    w.p = (int)w.P[p] + 1;
+    w.i = n - 1;
+  } else {
+    w.p = index;
+    w.i = n - 1;
+  }
+  return 0;
+}
+
+// Batch inverse: interleave the backward walks of independent blocks.  One
+// block's walk is a serial pointer chase — one dependent cache miss per
+// output byte — but across blocks the chases are independent, so stepping
+// B blocks per loop iteration keeps B misses in flight (the same
+// memory-level-parallelism trick as the aux-chain unbwt in bwt.cc, applied
+// across blocks because the ST stream format carries no mid-block entry
+// points).  Setup passes run per block; only the walks interleave.
+int st_decode_batch(u8** Ts, const i32* ns, int k, const i32* indexes,
+                    int nblocks) {
+  if (nblocks <= 0 || k < 3 || k > 8) return -1;
+  for (int b = 0; b < nblocks; ++b) {
+    if (ns[b] < 0) return -1;
+    if (ns[b] > 1 && (indexes[b] < 0 || indexes[b] >= ns[b])) return -1;
+  }
+
+  UnstWalk* ws = new (std::nothrow) UnstWalk[(size_t)nblocks]();
+  if (!ws) return -2;
+  int live = 0;
+  int rc = 0;
+  for (int b = 0; b < nblocks && rc == 0; ++b) {
+    if (ns[b] <= 1) continue;
+    rc = unst_prepare(ws[live], Ts[b], ns[b], k, indexes[b]);
+    if (rc == 0) ++live;
+  }
+  if (rc == 0) {
+    while (live > 0) {
+      for (int b = 0; b < live;) {
+        if (unst_step(ws[b])) {
+          ++b;
+        } else {
+          // finished: swap the last live walk into this slot
+          hfree(ws[b].P);
+          hfree(ws[b].cnt);
+          ws[b].P = nullptr;
+          ws[b].cnt = nullptr;
+          ws[b] = ws[--live];
+          ws[live].P = nullptr;
+          ws[live].cnt = nullptr;
+        }
+      }
+    }
+  }
+  for (int b = 0; b < nblocks; ++b) { hfree(ws[b].P); hfree(ws[b].cnt); }
+  delete[] ws;
+  return rc;
 }
 
 int st_decode(u8* T, int n, int k, int index, int /*num_threads*/) {
-  if (n < 0 || k < 3 || k > 8) return -1;
-  if (n <= 1) return 0;
-  if (index < 0 || index >= n) return -1;
-
-  u32* P = new (std::nothrow) u32[(size_t)n]();
-  u32* count = new (std::nothrow) u32[256]();
-  if (!P || !count) { delete[] P; delete[] count; return -2; }
-
-  bool fail_back = unst_mark_groups(T, P, count, n, k);
-
-  if (n < 0x800000) unst_rebuild_packed(T, P, count, n, index);
-  else if (!fail_back) unst_rebuild_relative(T, P, count, n, index);
-  else unst_rebuild_search(T, P, count, n, index);
-
-  delete[] P;
-  delete[] count;
-  return 0;
+  if (n <= 1 && n >= 0 && k >= 3 && k <= 8) return 0;
+  i32 ns = n, idx = index;
+  return st_decode_batch(&T, &ns, k, &idx, 1);
 }
 
 }  // namespace tbsc

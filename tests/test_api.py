@@ -110,3 +110,31 @@ def test_compressed_size_parity_with_reference(oracle, rng):
         )
         assert orc > 0
         assert len(blk) <= orc * 1.005, (kind, coder, len(blk), orc)
+
+
+def test_decompress_batch_matches_individual(rng):
+    """decompress_batch must be semantically identical to mapping decompress,
+    across mixed sorters (batched ST walks + individual BWT), stored blocks,
+    and multiple ST orders."""
+    from tests.conftest import make_corpus
+
+    blobs, expect = [], []
+    specs = [
+        (C.BLOCKSORTER_ST5, 150_000, "text"),
+        (C.BLOCKSORTER_BWT, 120_000, "text"),
+        (C.BLOCKSORTER_ST5, 90_000, "runs"),
+        (C.BLOCKSORTER_ST3, 60_000, "periodic"),
+        (C.BLOCKSORTER_ST8, 200_000, "text"),
+        (C.BLOCKSORTER_ST8, 130_000, "runs"),
+    ]
+    for sorter, n, kind in specs:
+        d = make_corpus(rng, n, kind)
+        blobs.append(api.compress(d, block_sorter=sorter))
+        expect.append(d)
+    d = make_corpus(rng, 50_000, "random")  # stored (incompressible)
+    blobs.append(api.compress(d))
+    expect.append(d)
+
+    out = api.decompress_batch(blobs)
+    assert out == expect
+    assert out == [api.decompress(b) for b in blobs]
