@@ -36,7 +36,10 @@ CORPUS_MB = int(os.environ.get("TBSC_BENCH_MB", "64"))
 DEFAULT_BLOCK = 25 * 1024 * 1024
 # 8 MB blocks balance the device/native farm workers best on one chip + one
 # core (measured r1: 16.3 MB/s vs 10.9 at 16 MB); costs ~2% size vs BWT.
-FARM_BLOCK = int(os.environ.get("TBSC_BENCH_BLOCK_MB", "8")) * 1024 * 1024
+# 64 KiB under 8 MiB: keeps every farm block under 2^23 so the inverse-ST
+# dense-tie layout applies (st.cc), at ~equal ratio.
+FARM_BLOCK = int(os.environ.get("TBSC_BENCH_BLOCK_MB", "8")) * 1024 * 1024 \
+    - (1 << 16)
 
 
 def make_corpus(n_bytes: int) -> bytes:
@@ -196,7 +199,10 @@ def measure_farm(data: bytes):
                 i, blk = jobs.get_nowait()
             except queue.Empty:
                 return
-            payloads[i] = B.compress(blk, block_sorter=sorter, features=feat)
+            # throughput operating point: the fast QLFC profile (+1% size,
+            # ~+20% encode and ~+50% batched decode vs static)
+            payloads[i] = B.compress(blk, block_sorter=sorter, features=feat,
+                                     coder=C.CODER_QLFC_FAST)
 
     dev = features | C.FEATURE_CUDA
     feats = [dev, dev, dev, features] if len(blocks) > 1 else [dev]
