@@ -83,6 +83,7 @@ def load():
              [u8p, ctypes.c_int64, ctypes.c_uint32])
         _sig(lib.tbsc_st_decode_batch, c_int,
              [ctypes.POINTER(ctypes.c_void_p), i32p, c_int, i32p, c_int])
+        _sig(lib.tbsc_wide_set_priors, c_int, [i16p])
 
         # Install format tables.
         tdir = _DIR.parent / "coder" / "tables"
@@ -91,6 +92,9 @@ def load():
         rank_state = np.load(tdir / "rank_state.npy")
         run_state = np.load(tdir / "run_state.npy")
         _tables_keepalive.extend([stretch, squash, rank_state, run_state])
+        wide_priors = np.load(tdir / "wide_priors_v2.npy").astype(np.int16)
+        _tables_keepalive.append(wide_priors)
+        lib.tbsc_wide_set_priors(wide_priors.ctypes.data_as(i16p))
         rc = lib.tbsc_set_tables(
             stretch.ctypes.data_as(i16p),
             squash.ctypes.data_as(i16p),

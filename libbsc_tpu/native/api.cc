@@ -23,6 +23,7 @@ uint32_t adler32(const uint8_t*, int64_t, uint32_t);
 int st_decode(uint8_t*, int, int, int, int);
 int st_decode_batch(uint8_t**, const int32_t*, int, const int32_t*, int);
 int wide_encode(const uint8_t*, int64_t, uint8_t*, int64_t, int, const int32_t*);
+int wide_set_priors(const int16_t*);
 int wide_balanced_sizes(const uint8_t*, int64_t, int, int32_t*);
 int wide_decode(const uint8_t*, int64_t, uint8_t*, int64_t);
 int wide_ranks(const uint8_t*, int64_t, int, int, int32_t*, int32_t*, int32_t*);
@@ -83,6 +84,10 @@ int tbsc_bwt_decode(uint8_t* T, int n, int index, int num_indexes, const int32_t
 
 int tbsc_st_encode(uint8_t* T, int n, int k, int num_threads) {
   return tbsc::st_encode(T, n, k, num_threads);
+}
+
+int tbsc_wide_set_priors(const int16_t* p) {
+  return tbsc::wide_set_priors(p);
 }
 
 int tbsc_wide_encode(const uint8_t* in, int64_t n, uint8_t* out,

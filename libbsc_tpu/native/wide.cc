@@ -21,13 +21,17 @@ using u16 = uint16_t;
 using u32 = uint32_t;
 using i64 = int64_t;
 
-constexpr int NCTX = 192;
-constexpr int CTX_RANK_FLAG = 0;   // + hist4
-constexpr int CTX_RANK_EXP = 16;   // + (t-1) + 7*prev_rb
-constexpr int CTX_RANK_MAN = 37;   // + pos
-constexpr int CTX_RUN_FLAG = 44;   // + hist4
-constexpr int CTX_RUN_EXP = 60;    // + (t-1) + 24*prev_ub
-constexpr int CTX_RUN_MAN = 132;   // + min(pos, 23)
+// model v2 (ops/wide.py is the spec): value-tree mantissa contexts,
+// rank-history-widened exponents, rank-conditioned run flags, tuned
+// priors, max-side boundary clamp.
+constexpr int NCTX = 281;
+constexpr int CTX_RANK_FLAG = 0;   // + rhist4
+constexpr int CTX_RANK_EXP = 16;   // + (t-1) + 7*prev_rb + 21*rhist1
+constexpr int CTX_RANK_MAN = 58;   // + RM_OFF[brs] + min(partial-1, 14)
+constexpr int CTX_RUN_FLAG = 129;  // + 3*uhist4 + rank bucket
+constexpr int CTX_RUN_EXP = 177;   // + (t-1) + 24*prev_ub
+constexpr int CTX_RUN_MAN = 249;   // + 16*(brs > 3) + min(partial, 15)
+constexpr int RM_OFF[9] = {0, 0, 0, 1, 4, 11, 26, 41, 56};
 constexpr int RANK_EXP_CAP = 8;
 constexpr int RUN_EXP_CAP = 25;
 constexpr int GROUP = 128;
@@ -38,6 +42,17 @@ static inline int bucket3(int brs) {
   if (brs <= 3) return 1;
   return 2;
 }
+
+
+
+static inline int rank_bucket(int rank) {
+  if (rank == 0) return 0;
+  return rank <= 2 ? 1 : 2;
+}
+
+// tuned per-context priors (format constants, installed from Python)
+extern int16_t g_priors[NCTX];
+extern bool g_priors_set;
 
 static inline int pick_lanes(i64 isize) {
   i64 lanes = DEFAULT_LANES;
@@ -76,7 +91,7 @@ struct Lane {
   i64 left = 0;
 
   void init_model() {
-    for (int i = 0; i < NCTX; ++i) probs[i] = 2048;
+    for (int i = 0; i < NCTX; ++i) probs[i] = (u16)g_priors[i];
     for (int i = 0; i < 256; ++i) mtf[i] = (u8)i;
   }
 };
@@ -85,11 +100,14 @@ struct Lane {
 static inline int ctx_of(const Lane& L) {
   switch (L.phase) {
     case PH_RFLAG: return CTX_RANK_FLAG + L.rhist;
-    case PH_REXP:  return CTX_RANK_EXP + 7 * L.prev_rb + L.t - 1;
-    case PH_RMAN:  return CTX_RANK_MAN + L.t;
-    case PH_UFLAG: return CTX_RUN_FLAG + L.uhist;
+    case PH_REXP:  return CTX_RANK_EXP + 7 * L.prev_rb
+                        + 21 * (L.rhist & 1) + L.t - 1;
+    case PH_RMAN:  return CTX_RANK_MAN + RM_OFF[L.brs]
+                        + (L.val - 1 < 14 ? L.val - 1 : 14);
+    case PH_UFLAG: return CTX_RUN_FLAG + 3 * L.uhist + rank_bucket(L.rank);
     case PH_UEXP:  return CTX_RUN_EXP + 24 * L.prev_ub + L.t - 1;
-    default:       return CTX_RUN_MAN + (L.t < 23 ? L.t : 23);
+    default:       return CTX_RUN_MAN + 16 * (L.brs > 3 ? 1 : 0)
+                        + (L.val < 15 ? L.val : 15);
   }
 }
 
@@ -136,7 +154,7 @@ static inline int next_bit_encode(Lane& L) {
       int bit = L.cur_rank != 0;
       L.rhist = (u8)(((L.rhist << 1) | bit) & 0xF);
       if (bit) { L.phase = PH_REXP; L.t = 1; L.brs = 1; }
-      else { L.prev_rb = 0; L.phase = PH_UFLAG; }
+      else { L.rank = 0; L.prev_rb = 0; L.phase = PH_UFLAG; }
       return bit;
     }
     case PH_REXP: {
@@ -144,11 +162,11 @@ static inline int next_bit_encode(Lane& L) {
       int bit = L.brs < brs_true;
       if (bit) {
         ++L.brs; ++L.t;
-        if (L.brs == RANK_EXP_CAP) { L.phase = PH_RMAN; L.t = 0; }
+        if (L.brs == RANK_EXP_CAP) { L.phase = PH_RMAN; L.t = 0; L.val = 1; }
       } else {
         L.prev_rb = (u8)bucket3(L.brs);
-        if (L.brs == 1) { L.phase = PH_UFLAG; }
-        else { L.phase = PH_RMAN; L.t = 0; }
+        if (L.brs == 1) { L.rank = 1; L.phase = PH_UFLAG; }
+        else { L.phase = PH_RMAN; L.t = 0; L.val = 1; }
       }
       if (L.phase == PH_RMAN && L.brs == RANK_EXP_CAP)
         L.prev_rb = (u8)bucket3(L.brs);
@@ -157,9 +175,9 @@ static inline int next_bit_encode(Lane& L) {
     case PH_RMAN: {
       int brs_true = 32 - __builtin_clz((u32)L.cur_rank);
       int bit = (L.cur_rank >> (brs_true - 2 - L.t)) & 1;
+      L.val = (L.val << 1) | bit;
       ++L.t;
-      if (L.t == L.brs - 1 || L.brs == 1) { /* unreachable guard */ }
-      if (L.t == brs_true - 1) L.phase = PH_UFLAG;
+      if (L.t == brs_true - 1) { L.rank = L.cur_rank; L.phase = PH_UFLAG; }
       return bit;
     }
     case PH_UFLAG: {
@@ -174,17 +192,18 @@ static inline int next_bit_encode(Lane& L) {
       int bit = L.brs < brs_true;
       if (bit) {
         ++L.brs; ++L.t;
-        if (L.brs == RUN_EXP_CAP) { L.phase = PH_UMAN; L.t = 0;
+        if (L.brs == RUN_EXP_CAP) { L.phase = PH_UMAN; L.t = 0; L.val = 1;
                                     L.prev_ub = (u8)bucket3(L.brs); }
       } else {
         L.prev_ub = (u8)bucket3(L.brs);
-        L.phase = PH_UMAN; L.t = 0;
+        L.phase = PH_UMAN; L.t = 0; L.val = 1;
       }
       return bit;
     }
     default: {  // PH_UMAN
       int brs_true = 32 - __builtin_clz((u32)L.cur_run);
       int bit = (L.cur_run >> (brs_true - 2 - L.t)) & 1;
+      L.val = (L.val << 1) | bit;
       ++L.t;
       if (L.t == brs_true - 1) next_run_encode(L);
       return bit;
@@ -206,6 +225,7 @@ using i64 = int64_t;
 int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
                 int n_lanes, const int32_t* sizes) {
   using namespace wide;
+  if (!g_priors_set) return -9;
   if (n <= 0) return -3;
   const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
   const i64 chunk = (n + L - 1) / L;
@@ -246,8 +266,12 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
       if (bit) { ln.low += r; ln.rng -= r; }
       else ln.rng = r;
       if (ln.rng < (1u << 16)) {
-        if (((ln.low ^ (ln.low + ln.rng - 1)) >> 16) != 0)
-          ln.rng = 0x10000u - (ln.low & 0xFFFFu);
+        if (((ln.low ^ (ln.low + ln.rng - 1)) >> 16) != 0) {
+          u32 lo_part = 0x10000u - (ln.low & 0xFFFFu);
+          u32 hi_part = ln.rng - lo_part;
+          if (hi_part > lo_part) { ln.low += lo_part; ln.rng = hi_part; }
+          else ln.rng = lo_part;
+        }
         q[k].push_back((u16)(ln.low >> 16));
         events[k / GROUP].push_back(k);
         ln.low <<= 16;
@@ -278,7 +302,7 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
   auto put16 = [&](u16 v) { std::memcpy(w, &v, 2); w += 2; };
   put32((u32)n);
   put16((u16)L);
-  put16(sizes ? 1 : 0);
+  put16((u16)((sizes ? 1 : 0) | 2));  // bit 1 = model v2
   put32((u32)iters);
   if (sizes)
     for (int k = 0; k < L; ++k) put32((u32)lsz[k]);
@@ -483,13 +507,16 @@ int wide_schedule(const u8* input, i64 n, int n_lanes, int cap,
     if (s > 0 && next_run_encode(ln)) {
       while (ln.phase != PH_DONE) {
         if (nb >= cap) return -1;
-        co[nb] = (u8)ctx_of(ln);
-        bo[nb] = (u8)next_bit_encode(ln);
+        // split encoding (NCTX > 255): ctx low byte in the ctx plane, the
+        // ctx high bit in bit-plane bit 1; bit-plane bit 7 marks inactive
+        int c = ctx_of(ln);
+        co[nb] = (u8)(c & 0xFF);
+        bo[nb] = (u8)(next_bit_encode(ln) | ((c >> 8) << 1));
         ++nb;
       }
     }
     std::memset(co + nb, 255, (size_t)(cap - nb));
-    std::memset(bo + nb, 0, (size_t)(cap - nb));
+    std::memset(bo + nb, 128, (size_t)(cap - nb));
     if (nb > maxbits) maxbits = nb;
   }
   return (int)maxbits;
@@ -501,6 +528,7 @@ int wide_schedule(const u8* input, i64 n, int n_lanes, int cap,
 
 int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
   using namespace wide;
+  if (!g_priors_set) return -9;
   if (psize < 12) return -5;
   u32 isize;
   u16 L16, flags;
@@ -509,6 +537,7 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
   std::memcpy(&flags, payload + 6, 2);
   // payload + 8: u32 max_bits (used by lockstep decoders; ignored here)
   const int L = L16;
+  if (!(flags & 2)) return -6;  // pre-v2 payloads are not decodable
   if (L == 0 || (i64)isize > out_cap) return -5;
   const i64 n = (i64)isize;
   const i64 chunk = (n + L - 1) / L;
@@ -592,8 +621,12 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
       else ln.rng = r;
       ln.probs[ctx] = (u16)upd(p, bit);
       if (ln.rng < (1u << 16)) {
-        if (((ln.low ^ (ln.low + ln.rng - 1)) >> 16) != 0)
-          ln.rng = 0x10000u - (ln.low & 0xFFFFu);
+        if (((ln.low ^ (ln.low + ln.rng - 1)) >> 16) != 0) {
+          u32 lo_part = 0x10000u - (ln.low & 0xFFFFu);
+          u32 hi_part = ln.rng - lo_part;
+          if (hi_part > lo_part) { ln.low += lo_part; ln.rng = hi_part; }
+          else ln.rng = lo_part;
+        }
         ln.low <<= 16;
         ln.rng <<= 16;
         refills.push_back(k);
@@ -671,6 +704,17 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
     if (overrun) return -5;
   }
   return (int)n;
+}
+
+namespace wide {
+int16_t g_priors[NCTX];
+bool g_priors_set = false;
+}  // namespace wide
+
+int wide_set_priors(const int16_t* p) {
+  for (int i = 0; i < wide::NCTX; ++i) wide::g_priors[i] = p[i];
+  wide::g_priors_set = true;
+  return 0;
 }
 
 }  // namespace tbsc

@@ -28,11 +28,13 @@ thousands of lanes designed for lockstep execution on a TPU:
 - Per run: flag bit "rank != 0"; if set, the rank's bit-length is coded in
   unary (capped at 8) followed by the mantissa bits; then flag "run != 1";
   if set, the run length's bit-length in unary (capped at 25) + mantissa.
-  64 adaptive contexts total (see _CTX_*); probabilities are 12-bit with
-  shift-by-5 updates (p += (4096-p)>>5 on a zero bit, p -= p>>5 on one).
-- The range coder is CARRY-LESS (range clamping at u16 boundaries): exactly
-  one u16 is emitted per renormalization, which makes the per-lane emission
-  cadence lockstep-friendly.  Two flush units terminate each lane.
+  281 adaptive contexts total (model v2, see _CTX_*); probabilities are
+  12-bit with shift-by-5 updates starting from tuned per-context priors.
+- The range coder is CARRY-LESS: exactly one u16 is emitted per
+  renormalization, which keeps the per-lane emission cadence
+  lockstep-friendly.  A straddling interval is clamped to its LARGER side
+  (the decoder mirrors the choice deterministically), costing ~0.5 bit per
+  clamp instead of ~1.4.  Two flush units terminate each lane.
 - Each group's stream is laid out in DECODER CONSUMPTION ORDER — the
   standard interleaved-entropy-lane layout — so a group's decoder reads one
   sequential segment and distributes units to the lanes that renormalize
@@ -53,16 +55,50 @@ import struct
 import numpy as np
 
 # ---------------------------------------------------------------------------
-# spec constants
+# spec constants (model v2 — header flags bit 1)
+#
+# v2 widens the context space from 192 to 595 and changes three coder
+# rules (all shared bit-exactly by the reference here, the native codec
+# and the Pallas kernels):
+#   - mantissa contexts are value trees (the partial value is the node,
+#     per bit-length), mirroring the doubling contexts of qlfc.cpp;
+#   - rank-exp contexts add two bits of rank-flag history, run-flag
+#     contexts add a rank bucket;
+#   - renormalization clamps to the LARGER side of a straddling interval
+#     (decoder mirrors the choice), and probabilities start from a tuned
+#     per-context prior table instead of a flat 2048.
 # ---------------------------------------------------------------------------
 
-NCTX = 192
-_CTX_RANK_FLAG = 0    # +hist4 (last four rank flags): 0..15
-_CTX_RANK_EXP = 16    # + (t-1) + 7*prev_brs_bucket(0..2): 16..36
-_CTX_RANK_MAN = 37    # + position 0..6: 37..43
-_CTX_RUN_FLAG = 44    # +hist4 (last four run flags): 44..59
-_CTX_RUN_EXP = 60     # + (t-1) + 24*prev_run_bucket(0..2): 60..131
-_CTX_RUN_MAN = 132    # + position capped at 23: 132..155
+NCTX = 281
+_CTX_RANK_FLAG = 0    # + rhist4 (last four rank flags): 0..15
+_CTX_RANK_EXP = 16    # + (t-1) + 7*prev_rb(0..2) + 21*rhist1: 16..57
+_CTX_RANK_MAN = 58    # + RM_OFF[brs] + min(partial-1, 14): 58..128
+_CTX_RUN_FLAG = 129   # + 3*uhist4 + rank bucket(0..2): 129..176
+_CTX_RUN_EXP = 177    # + (t-1) + 24*prev_ub(0..2): 177..248
+_CTX_RUN_MAN = 249    # + 16*(brs > 3) + min(partial, 15): 249..280
+
+# mantissa tree offsets per rank bit-length (min(2**(brs-1)-1, 15) nodes;
+# the deep-tree tail shares the capped node — measured equal entropy to the
+# full 247-node tree, at half the kernel's context-sweep cost)
+RM_OFF = (0, 0, 0, 1, 4, 11, 26, 41, 56)  # indexed by brs, brs in [2, 8]
+
+_FLAG_EXPLICIT_SIZES = 1
+_FLAG_MODEL_V2 = 2
+
+_priors_cache = None
+
+
+def priors() -> np.ndarray:
+    """Tuned per-context initial probabilities (format constants)."""
+    global _priors_cache
+    if _priors_cache is None:
+        from pathlib import Path
+
+        path = Path(__file__).resolve().parent.parent / "coder" / "tables" \
+            / "wide_priors_v2.npy"
+        _priors_cache = np.load(path).astype(np.int32)
+        assert _priors_cache.shape == (NCTX,)
+    return _priors_cache
 
 
 def _bucket3(brs: int) -> int:
@@ -71,6 +107,16 @@ def _bucket3(brs: int) -> int:
     if brs <= 3:
         return 1
     return 2
+
+
+def _bucket2(brs: int) -> int:
+    return 0 if brs <= 3 else 1
+
+
+def _rank_bucket(rank: int) -> int:
+    if rank == 0:
+        return 0
+    return 1 if rank <= 2 else 2
 
 RANK_EXP_CAP = 8      # bit_length(rank) in [1, 8]
 RUN_EXP_CAP = 25      # bit_length(run) in [2, 25] -> lane chunk < 2^25
@@ -131,7 +177,15 @@ class _RcEnc:
             self.rng = r
         if self.rng < (1 << 16):
             if ((self.low ^ (self.low + self.rng - 1)) >> 16) != 0:
-                self.rng = 0x10000 - (self.low & 0xFFFF)  # clamp to boundary
+                # straddling a unit boundary: keep the larger side (the
+                # decoder mirrors the same deterministic choice)
+                lo_part = 0x10000 - (self.low & 0xFFFF)
+                hi_part = self.rng - lo_part
+                if hi_part > lo_part:
+                    self.low = (self.low + lo_part) & 0xFFFFFFFF
+                    self.rng = hi_part
+                else:
+                    self.rng = lo_part
             self.out.append((self.low >> 16) & 0xFFFF)
             self.low = (self.low << 16) & 0xFFFFFFFF
             self.rng = (self.rng << 16) & 0xFFFFFFFF
@@ -165,7 +219,13 @@ class _RcDec:
             self.rng -= r
         if self.rng < (1 << 16):
             if ((self.low ^ (self.low + self.rng - 1)) >> 16) != 0:
-                self.rng = 0x10000 - (self.low & 0xFFFF)
+                lo_part = 0x10000 - (self.low & 0xFFFF)
+                hi_part = self.rng - lo_part
+                if hi_part > lo_part:
+                    self.low = (self.low + lo_part) & 0xFFFFFFFF
+                    self.rng = hi_part
+                else:
+                    self.rng = lo_part
             self.low = (self.low << 16) & 0xFFFFFFFF
             self.rng = (self.rng << 16) & 0xFFFFFFFF
             return bit, True
@@ -206,18 +266,21 @@ def _lane_bits(chunk: np.ndarray):
         rhist = ((rhist << 1) | rf) & 0xF
         if rank:
             brs = rank.bit_length()
-            base = _CTX_RANK_EXP + 7 * prev_rb
+            base = _CTX_RANK_EXP + 7 * prev_rb + 21 * (rhist & 1)
             for t in range(1, min(brs, RANK_EXP_CAP)):
                 out.append((base + t - 1, 1))
             if brs < RANK_EXP_CAP:
                 out.append((base + brs - 1, 0))
+            v = 1
             for t in range(brs - 2, -1, -1):
-                out.append((_CTX_RANK_MAN + (brs - 2 - t), (rank >> t) & 1))
+                out.append((_CTX_RANK_MAN + RM_OFF[brs] + min(v - 1, 14),
+                            (rank >> t) & 1))
+                v = (v << 1) | ((rank >> t) & 1)
             prev_rb = _bucket3(brs)
         else:
             prev_rb = 0
         uf = 1 if run != 1 else 0
-        out.append((_CTX_RUN_FLAG + uhist, uf))
+        out.append((_CTX_RUN_FLAG + 3 * uhist + _rank_bucket(rank), uf))
         uhist = ((uhist << 1) | uf) & 0xF
         if run != 1:
             brs = run.bit_length()
@@ -226,9 +289,12 @@ def _lane_bits(chunk: np.ndarray):
                 out.append((base + t - 1, 1))
             if brs < RUN_EXP_CAP:
                 out.append((base + brs - 1, 0))
+            v = 1
+            bb = _bucket2(brs)
             for t in range(brs - 2, -1, -1):
-                out.append((_CTX_RUN_MAN + min(brs - 2 - t, 23),
+                out.append((_CTX_RUN_MAN + 16 * bb + min(v, 15),
                             (run >> t) & 1))
+                v = (v << 1) | ((run >> t) & 1)
             prev_ub = _bucket3(brs)
         else:
             prev_ub = 0
@@ -256,7 +322,8 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
     # Per-lane unit queues + the renorm event list let us assemble the
     # stream in decoder consumption order afterwards.
     lanes = [_RcEnc() for _ in range(L)]
-    probs = [[P_INIT] * NCTX for _ in range(L)]
+    pri = priors().tolist()
+    probs = [list(pri) for _ in range(L)]
     events: list[int] = []  # lane of each renorm, in (iteration, lane) order
     max_bits = max((len(s) for s in schedules), default=0)
     # (max_bits is also recorded in the header for lockstep decoders)
@@ -290,7 +357,7 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
         assert next_unit[k] == len(lanes[k].out), (k, next_unit[k],
                                                    len(lanes[k].out))
 
-    payload = struct.pack("<IHHI", isize, L, 0, max_bits)
+    payload = struct.pack("<IHHI", isize, L, _FLAG_MODEL_V2, max_bits)
     payload += np.asarray([len(g) for g in gstreams], dtype="<u4").tobytes()
     for g in gstreams:
         payload += np.asarray(g, dtype="<u2").tobytes()
@@ -301,6 +368,8 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
 
 def wide_decode_ref(payload: bytes) -> bytes:
     isize, L, flags, _max_bits = struct.unpack_from("<IHHI", payload, 0)
+    if not flags & _FLAG_MODEL_V2:
+        raise ValueError("unsupported wide-profile model version")
     n_groups = -(-L // GROUP)
     off = 12
     explicit_sizes = None
@@ -329,7 +398,8 @@ def _decode_lockstep(isize, L, sizes, gstreams) -> bytes:
     offs = np.cumsum([0] + sizes[:-1])
 
     decs: list[_RcDec | None] = [None] * L
-    probs = [[P_INIT] * NCTX for _ in range(L)]
+    pri = priors().tolist()
+    probs = [list(pri) for _ in range(L)]
     mtfs = [list(range(256)) for _ in range(L)]
     # decode state machine per lane
     PH_RFLAG, PH_REXP, PH_RMAN, PH_UFLAG, PH_UEXP, PH_UMAN, PH_DONE = range(7)
@@ -366,15 +436,18 @@ def _decode_lockstep(isize, L, sizes, gstreams) -> bytes:
             if phase[k] == PH_RFLAG:
                 ctx = _CTX_RANK_FLAG + rhist[k]
             elif phase[k] == PH_REXP:
-                ctx = _CTX_RANK_EXP + 7 * prev_rb[k] + t[k] - 1
+                ctx = (_CTX_RANK_EXP + 7 * prev_rb[k] + 21 * (rhist[k] & 1)
+                       + t[k] - 1)
             elif phase[k] == PH_RMAN:
-                ctx = _CTX_RANK_MAN + t[k]
+                ctx = _CTX_RANK_MAN + RM_OFF[brs[k]] + min(val[k] - 1, 14)
             elif phase[k] == PH_UFLAG:
-                ctx = _CTX_RUN_FLAG + uhist[k]
+                ctx = (_CTX_RUN_FLAG + 3 * uhist[k]
+                       + _rank_bucket(rank[k]))
             elif phase[k] == PH_UEXP:
                 ctx = _CTX_RUN_EXP + 24 * prev_ub[k] + t[k] - 1
             else:
-                ctx = _CTX_RUN_MAN + min(t[k], 23)
+                ctx = (_CTX_RUN_MAN + 16 * _bucket2(brs[k])
+                       + min(val[k], 15))
             p = probs[k][ctx]
             bit, need = d.decode(p)
             probs[k][ctx] = _upd(p, bit)

@@ -5,7 +5,7 @@ Execution shape (measured viable on v5e: ~0.65 ns/lane-bit at 1024 lanes):
 sublane row).  The host prepares per-lane (context, bit) planes with the
 native schedule walker (native/wide.cc wide_schedule — the MTF + rank/run
 state machine); the kernel is then a PURE coder: per iteration row it does
-a one-hot model lookup/update over the 192 contexts, a carry-less range
+a one-hot model lookup/update over the 281 contexts, a carry-less range
 coder step, and emission.
 
 Emission: renormalizing lanes produce one u16 each; per group row the
@@ -34,6 +34,7 @@ from . import wide as W
 GROUPS = 8
 LANES = GROUPS * 128  # kernel lane count (device path uses 1024 lanes)
 NCTX = W.NCTX
+_PRIORS = tuple(int(x) for x in W.priors())
 
 
 def _jax():
@@ -103,7 +104,7 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
         @pl.when(step == 0)
         def _init():
             for c in range(NCTX):
-                probs[c] = jnp.full((GROUPS, 128), 2048, jnp.int32)
+                probs[c] = jnp.full((GROUPS, 128), _PRIORS[c], jnp.int32)
             low_s[...] = jnp.zeros((GROUPS, 128), u32)
             rng_s[...] = jnp.full((GROUPS, 128), 0xFFFFFFFF, u32)
             stA[...] = jnp.zeros((GROUPS, 128), jnp.int32)
@@ -125,9 +126,11 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             tilecnt[g] = tc + 1
 
         def row_body(i, _):
-            ctx = ctx_ref[i].astype(jnp.int32)
-            bit = bit_ref[i].astype(jnp.int32)
-            active = ctx < 255
+            ctxlo = ctx_ref[i].astype(jnp.int32)
+            bplane = bit_ref[i].astype(jnp.int32)
+            ctx = ctxlo | (((bplane >> 1) & 1) << 8)
+            bit = bplane & 1
+            active = (bplane & 128) == 0
 
             # one-hot model lookup + update over the context axis
             p = jnp.zeros((GROUPS, 128), jnp.int32)
@@ -148,11 +151,16 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             rng1 = jnp.where(active, rng1, rng)
             ren = active & ((rng1 >> 16) == 0)
             straddle = (((low1 ^ (low1 + rng1 - 1)) >> 16) != 0)
-            rng2 = jnp.where(ren & straddle,
-                             0x10000 - (low1 & 0xFFFF), rng1)
-            emitval = ((low1 >> 16) & 0xFFFF).astype(jnp.int32) \
+            lo_part = jnp.uint32(0x10000) - (low1 & 0xFFFF)
+            hi_part = rng1 - lo_part
+            clamp = ren & straddle
+            take_hi = clamp & (hi_part > lo_part)
+            low2 = jnp.where(take_hi, low1 + lo_part, low1)
+            rng2 = jnp.where(clamp,
+                             jnp.where(take_hi, hi_part, lo_part), rng1)
+            emitval = ((low2 >> 16) & 0xFFFF).astype(jnp.int32) \
                 | (lane_iota() << 16)
-            low_s[...] = jnp.where(ren, low1 << 16, low1)
+            low_s[...] = jnp.where(ren, low2 << 16, low2)
             rng_s[...] = jnp.where(ren, rng2 << 16, rng2)
 
             # ---- emission staging ----
@@ -383,7 +391,7 @@ def _assemble(n: int, units: np.ndarray, counts: np.ndarray,
         payload_parts.append(stream.astype("<u2").tobytes())
 
     payload = struct.pack("<IHHI", n, LANES,
-                          1 if lane_sz is not None else 0, max_bits)
+                          (1 if lane_sz is not None else 0) | 2, max_bits)
     if lane_sz is not None:
         payload += sizes.astype("<u4").tobytes()
     payload += np.asarray(gunits, dtype="<u4").tobytes()
@@ -476,7 +484,7 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
         @pl.when(step == 0)
         def _init():
             for c in range(NCTX):
-                probs[c] = jnp.full((GROUPS, 128), 2048, jnp.int32)
+                probs[c] = jnp.full((GROUPS, 128), _PRIORS[c], jnp.int32)
             for r in range(256):
                 mtf[r] = jnp.full((GROUPS, 128), r, jnp.int32)
             low_s[...] = jnp.zeros((GROUPS, 128), u32)
@@ -557,15 +565,25 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             prb = prb_s[...]
             pub = pub_s[...]
 
-            # context of the next bit
+            # context of the next bit (model v2, ops/wide.py spec)
+            val0 = val_s[...]
+            rank0 = rank_s[...]
+            rmoff = jnp.zeros((GROUPS, 128), jnp.int32)
+            for b, off in ((3, 1), (4, 4), (5, 11), (6, 26), (7, 41),
+                           (8, 56)):
+                rmoff = jnp.where(brs == b, off, rmoff)
+            rankb = jnp.where(rank0 == 0, 0,
+                              jnp.where(rank0 <= 2, 1, 2))
             ctx = jnp.where(
                 phase == PH_RFLAG, rh,
-                jnp.where(phase == PH_REXP, 16 + 7 * prb + t - 1,
-                jnp.where(phase == PH_RMAN, 37 + t,
-                jnp.where(phase == PH_UFLAG, 44 + uh,
-                jnp.where(phase == PH_UEXP, 60 + 24 * pub + t - 1,
-                          132 + jnp.minimum(t, 23))))))
-            ctx = jnp.where(active, ctx, 255)
+                jnp.where(phase == PH_REXP,
+                          16 + 7 * prb + 21 * (rh & 1) + t - 1,
+                jnp.where(phase == PH_RMAN,
+                          58 + rmoff + jnp.minimum(val0 - 1, 14),
+                jnp.where(phase == PH_UFLAG, 129 + 3 * uh + rankb,
+                jnp.where(phase == PH_UEXP, 177 + 24 * pub + t - 1,
+                          249 + 16 * (brs > 3).astype(jnp.int32) + jnp.minimum(val0, 15))))))
+            ctx = jnp.where(active, ctx, 511)
 
             # probability lookup
             p = jnp.zeros((GROUPS, 128), jnp.int32)
@@ -585,8 +603,14 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             rng1 = jnp.where(active, rng1, rng)
             ren = active & ((rng1 >> 16) == 0)
             straddle = (((low1 ^ (low1 + rng1 - 1)) >> 16) != 0)
-            rng2 = jnp.where(ren & straddle, 0x10000 - (low1 & 0xFFFF), rng1)
-            low_s[...] = jnp.where(ren, low1 << 16, low1)
+            lo_part = jnp.uint32(0x10000) - (low1 & 0xFFFF)
+            hi_part = rng1 - lo_part
+            clamp = ren & straddle
+            take_hi = clamp & (hi_part > lo_part)
+            low2 = jnp.where(take_hi, low1 + lo_part, low1)
+            rng2 = jnp.where(clamp,
+                             jnp.where(take_hi, hi_part, lo_part), rng1)
+            low_s[...] = jnp.where(ren, low2 << 16, low2)
             rng_s[...] = jnp.where(ren, rng2 << 16, rng2)
 
             # model update

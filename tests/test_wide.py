@@ -78,7 +78,8 @@ def test_wide_mode_rejected_by_reference_binary(tmp_path, rng):
 
 def test_wide_ratio_cost_documented_bound(rng):
     """The wide profile trades ratio for lockstep throughput; keep the cost
-    within the documented envelope (< 25% over QLFC-static on BWT input)."""
+    within the documented envelope (model v2: < 15% over QLFC-static on BWT
+    input at 128 lanes; the pre-v2 model was bounded at 25%)."""
     from libbsc_tpu import engine
 
     api.init()
@@ -87,7 +88,7 @@ def test_wide_ratio_cost_documented_bound(rng):
     static = engine.coder_compress(data, C.CODER_QLFC_STATIC, 0)
     p = wide.wide_encode_ref(data.tobytes(), n_lanes=128)
     assert p is not None
-    assert len(p) < 1.25 * len(static)
+    assert len(p) < 1.15 * len(static)
 
 
 def test_wide_device_kernel_parity_interpret(rng):
