@@ -190,6 +190,22 @@ def measure_farm(data: bytes):
             warm = lz if lz is not None else arr
             engine.st_encode(warm.copy(), 8, C.FEATURE_CUDA)
 
+    # roofline: time one warmed on-chip ST8 op (sort of n keys); the chip's
+    # practical stable-sort budget is ~200 Mkeys/s (docs/TPU_SORT_NOTES.md),
+    # and for ST one key is one input byte.
+    st_roofline = None
+    try:
+        probe = np.frombuffer(blocks[0], dtype=np.uint8).copy()
+        t0 = time.time()
+        engine.st_encode(probe, 8, C.FEATURE_CUDA)
+        dt = time.time() - t0
+        rate = len(probe) / 1e6 / dt
+        st_roofline = {"st8_op_mbs": round(rate, 1),
+                       "sort_roofline_mkeys": 200,
+                       "roofline_frac": round(rate / 200.0, 3)}
+    except Exception:
+        pass
+
     jobs: "queue.Queue" = queue.Queue()
     payloads: dict = {}
 
@@ -224,9 +240,12 @@ def measure_farm(data: bytes):
         restored = b"".join(B.decompress_batch(ordered))
         dec_dt = min(dec_dt, time.time() - t0)
     assert restored == data, "farm round-trip mismatch"
-    return {"enc_mbs": round(n / 1e6 / enc_dt, 2),
-            "dec_mbs": round(n / 1e6 / dec_dt, 2),
-            "bytes": sum(len(p) for p in ordered)}
+    res = {"enc_mbs": round(n / 1e6 / enc_dt, 2),
+           "dec_mbs": round(n / 1e6 / dec_dt, 2),
+           "bytes": sum(len(p) for p in ordered)}
+    if st_roofline:
+        res.update(st_roofline)
+    return res
 
 
 _BENCH_T0 = 0.0
@@ -310,7 +329,12 @@ def measure_wide(data: bytes):
         res = {"kernel_mbs": round(n / 1e6 / best, 1),
                "e2e_mbs": round(n / 1e6 / e2e, 1),
                "bytes": len(payload),
-               "host_qlfc_static_mbs": 68.0}
+               "host_qlfc_static_mbs": 68.0,
+               # roofline detail: lockstep iterations are the kernel's unit
+               # of work (one bit per lane per row); report the achieved
+               # per-lane-bit cost so progress is judged against the chip
+               "kernel_ns_per_lane_bit": round(best / (IT * 1024) * 1e9, 3),
+               "lockstep_iters": IT}
         if dec_best is not None:
             res["decode_e2e_mbs"] = round(n / 1e6 / dec_best, 1)
         return res
