@@ -7,6 +7,7 @@ parallelism over a device mesh; its intra-block sub-block splitting
 
 from .pipeline import (  # noqa: F401
     make_mesh,
+    make_sharded_st_step,
     make_transform_step,
     batch_st_encode,
     batch_bwt_encode,

@@ -132,3 +132,207 @@ def make_transform_step(mesh: Mesh, sorter: str = "st", k: int = 5):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# True sequence-parallel ST: sample sort across the sp axis
+# ---------------------------------------------------------------------------
+
+def make_sharded_st_step(mesh: Mesh, k: int = 8, n_samples: int = 128,
+                         slack_frac: int = 4):
+    """ST-k of one block genuinely SHARDED over the sp axis (no all-gather
+    of the block, no redundant sorts): a distributed sample sort.
+
+    Per sp member (holding a contiguous [n_local] slice of each block):
+      1. wrap-around context keys — the 8 boundary bytes arrive from the
+         next member via `ppermute`;
+      2. splitter selection — each member contributes strided sample
+         triples (hi, lo, gpos); the tiny [S*R] sample set is all-gathered,
+         sorted, and quantiled.  Triples are all distinct (gpos breaks
+         ties), so all-equal blocks split by position and stay balanced;
+      3. O(n) bucket partition (counting scatter, not a sort) and a
+         fixed-capacity `all_to_all` — capacity is n_local/S plus slack.
+         When key order correlates with position (degenerate case: an
+         all-equal block sorts to the identity, so one member owns an
+         entire destination range) a source can overflow its capacity;
+         that is detected and reported via `ok`, and the caller falls back
+         to the all-gather path (make_transform_step);
+      4. one local sort of the received range per member;
+      5. rebalance to exact [n_local] output shards by exchanging
+         fixed-size edge windows with both neighbors (`ppermute`) — the
+         sampling bound keeps the true boundary within the slack window.
+
+    Collectives: 2x ppermute (8 B + edge windows), one tiny all-gather,
+    one all_to_all of ~n_local * (1 + 1/slack) elements — all ICI-friendly.
+    Compute per member: O(n_local) partition + one sort of ~n_local keys,
+    versus the all-gather path's full-block sort on every member.
+
+    Returns a jitted step: blocks [B, n] P('dp','sp') ->
+      (transformed P('dp','sp'), index P('dp'), ok P('dp')); `ok` is False
+    if any exchange overflowed its capacity (results then invalid).
+    """
+    S = mesh.shape["sp"]
+    if not 3 <= k <= 8:
+        raise ValueError(f"ST order must be in [3, 8], got {k}")
+
+    def one_block(ext, prev, gpos0, me):
+        """ext: [nl + 8] u8 (slice + neighbor head); prev: [nl] u8 preceding
+        bytes; gpos0: scalar global offset of this slice."""
+        nl = ext.shape[0] - 8
+        d32 = ext.astype(jnp.uint32)
+
+        hi = jnp.zeros(nl, dtype=jnp.uint32)
+        for j in range(min(k, 4)):
+            hi = (hi << 8) | lax.dynamic_slice_in_dim(d32, j, nl)
+        hi = hi << (8 * (4 - min(k, 4)))
+        lo = jnp.zeros(nl, dtype=jnp.uint32)
+        for j in range(4, k):
+            lo = (lo << 8) | lax.dynamic_slice_in_dim(d32, j, nl)
+        lo = lo << (8 * (8 - max(k, 4)))
+        gpos = gpos0 + jnp.arange(nl, dtype=jnp.int32)
+
+        # --- splitters from jittered samples (all members, all distinct).
+        # Plain strided sampling aliases with periodic inputs (a repeating
+        # word whose period divides the stride skews every sample into the
+        # same context class), so each sample gets a fixed pseudo-random
+        # offset within its stride cell. ---
+        R = min(n_samples, nl)
+        cell = max(1, nl // R)
+        spos = jnp.asarray(
+            [min((j * nl) // R + (j * 2654435761) % cell, nl - 1)
+             for j in range(R)], dtype=jnp.int32)
+        s_hi = lax.all_gather(hi[spos], "sp").reshape(-1)
+        s_lo = lax.all_gather(lo[spos], "sp").reshape(-1)
+        s_gp = lax.all_gather(gpos[spos], "sp").reshape(-1)
+        s_hi, s_lo, s_gp = lax.sort((s_hi, s_lo, s_gp), num_keys=3)
+        SR = S * R
+        q = [(t + 1) * SR // S for t in range(S - 1)]
+        sp_hi = jnp.stack([s_hi[i] for i in q]) if q else \
+            jnp.zeros(0, jnp.uint32)
+        sp_lo = jnp.stack([s_lo[i] for i in q]) if q else \
+            jnp.zeros(0, jnp.uint32)
+        sp_gp = jnp.stack([s_gp[i] for i in q]) if q else \
+            jnp.zeros(0, jnp.int32)
+
+        # bucket(i) = number of splitters <= (hi, lo, gpos)[i]
+        def ge_splitter(t):
+            a, b, c = sp_hi[t], sp_lo[t], sp_gp[t]
+            return ((hi > a) | ((hi == a) & ((lo > b) |
+                    ((lo == b) & (gpos >= c))))).astype(jnp.int32)
+
+        bucket = jnp.zeros(nl, jnp.int32)
+        for t in range(S - 1):
+            bucket = bucket + ge_splitter(t)
+
+        # --- O(n) partition into per-destination slots ---
+        CAP = nl // S + nl // slack_frac
+        counts = jnp.bincount(bucket, length=S)
+        # rank within own bucket: S cumsums of the membership masks
+        order_rank = jnp.zeros(nl, jnp.int32)
+        for s in range(S):
+            m = (bucket == s).astype(jnp.int32)
+            order_rank = jnp.where(m == 1, jnp.cumsum(m) - 1, order_rank)
+        ok = jnp.max(counts) <= CAP
+        slot = bucket * CAP + jnp.minimum(order_rank, CAP - 1)
+
+        PAD = jnp.uint32(0xFFFFFFFF)
+        send_hi = jnp.full(S * CAP, PAD).at[slot].set(hi, mode="drop")
+        send_lo = jnp.full(S * CAP, PAD).at[slot].set(lo, mode="drop")
+        send_gp = jnp.full(S * CAP, 0x7FFFFFFF, dtype=jnp.int32) \
+            .at[slot].set(gpos, mode="drop")
+        send_pv = jnp.zeros(S * CAP, jnp.uint8).at[slot].set(prev,
+                                                             mode="drop")
+
+        # --- exchange: member s receives every member's bucket-s segment ---
+        def a2a(x):
+            return lax.all_to_all(x.reshape(S, CAP), "sp", split_axis=0,
+                                  concat_axis=0, tiled=False).reshape(-1)
+
+        r_hi = a2a(send_hi)
+        r_lo = a2a(send_lo)
+        r_gp = a2a(send_gp)
+        r_pv = a2a(send_pv)
+
+        # --- local sort of the received range (pads sink to the tail) ---
+        r_hi, r_lo, r_gp, r_pv = lax.sort((r_hi, r_lo, r_gp, r_pv),
+                                          num_keys=3)
+        cnt = jnp.sum(r_gp != 0x7FFFFFFF).astype(jnp.int32)
+
+        # --- rebalance to exactly nl outputs per member ---
+        cnts = lax.all_gather(cnt, "sp")  # [S]
+        offs = (jnp.cumsum(cnts) - cnts)[me]  # my segment's global offset
+        W = CAP  # edge window (>= max boundary error by the capacity bound)
+        # my first/last W sorted elements, to the left/right neighbors
+        head_pv = r_pv[:W]
+        head_gp = r_gp[:W]
+        tail_pv = lax.dynamic_slice_in_dim(
+            r_pv, jnp.maximum(cnt - W, 0), W)
+        tail_gp = lax.dynamic_slice_in_dim(
+            r_gp, jnp.maximum(cnt - W, 0), W)
+        left_perm = [(s, (s - 1) % S) for s in range(S)]
+        right_perm = [(s, (s + 1) % S) for s in range(S)]
+        nbr_head_pv = lax.ppermute(head_pv, "sp", left_perm)   # from right
+        nbr_head_gp = lax.ppermute(head_gp, "sp", left_perm)
+        nbr_tail_pv = lax.ppermute(tail_pv, "sp", right_perm)  # from left
+        nbr_tail_gp = lax.ppermute(tail_gp, "sp", right_perm)
+        l_offs = (jnp.cumsum(cnts) - cnts)[(me - 1) % S]
+        l_cnt = cnts[(me - 1) % S]
+        nbr_tail_goff = l_offs + jnp.maximum(l_cnt - W, 0)
+        r_offs = (jnp.cumsum(cnts) - cnts)[(me + 1) % S]
+
+        want = me * nl + jnp.arange(nl, dtype=jnp.int32)  # global ranks
+        own_idx = jnp.clip(want - offs, 0, S * CAP - 1)
+        own_pv = r_pv[own_idx]
+        own_gp = r_gp[own_idx]
+        lt_idx = jnp.clip(want - nbr_tail_goff, 0, W - 1)
+        rt_idx = jnp.clip(want - r_offs, 0, W - 1)
+        from_left = want < offs
+        from_right = want >= offs + cnt
+        out_pv = jnp.where(from_left, nbr_tail_pv[lt_idx],
+                           jnp.where(from_right, nbr_head_pv[rt_idx],
+                                     own_pv))
+        out_gp = jnp.where(from_left, nbr_tail_gp[lt_idx],
+                           jnp.where(from_right, nbr_head_gp[rt_idx],
+                                     own_gp))
+        ok = ok & (offs - me * nl < W) & (me * nl + nl - offs - cnt < W)
+
+        # index = global rank of gpos 0 (exactly one member holds it)
+        here = out_gp == 0
+        idx_local = jnp.where(jnp.any(here),
+                              me * nl + jnp.argmax(here).astype(jnp.int32),
+                              0)
+        index = lax.pmax(idx_local, "sp")
+        return out_pv, index, ok
+
+    def step(blocks):  # local shard [B_local, n_local] u8
+        b_local, nl = blocks.shape
+        me = lax.axis_index("sp")
+        left_perm = [(s, (s - 1) % S) for s in range(S)]
+        right_perm = [(s, (s + 1) % S) for s in range(S)]
+        recv8 = lax.ppermute(blocks[:, :8], "sp", left_perm)
+        ext = jnp.concatenate([blocks, recv8], axis=1)
+        # preceding byte: within the slice a roll; position 0 takes the
+        # previous member's last byte
+        prev_last = lax.ppermute(blocks[:, -1:], "sp", right_perm)
+        prev = jnp.concatenate([prev_last, blocks[:, :-1]], axis=1)
+        gpos0 = me * nl
+
+        outs, idxs, oks = [], [], []
+        for b in range(b_local):
+            o, i, okb = one_block(ext[b], prev[b], gpos0, me)
+            outs.append(o)
+            idxs.append(i)
+            oks.append(okb)
+        ok_all = lax.pmin(jnp.all(jnp.stack(oks)).astype(jnp.int32),
+                          "sp") == 1
+        return (jnp.stack(outs), jnp.stack(idxs),
+                jnp.stack([ok_all] * b_local))
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=P("dp", "sp"),
+        out_specs=(P("dp", "sp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -184,3 +184,48 @@ def test_two_process_striped_farm_device_path(rng, tmp_path):
     restored = tmp_path / "restored.bin"
     cli.decompress_file(str(arch), str(restored), cli.Params(), quiet=True)
     assert restored.read_bytes() == data
+
+
+def test_sharded_st_sample_sort_matches_serial(cpu_mesh_guard=None):
+    """The sp-axis sample-sort ST (all_to_all + ppermute, no block
+    all-gather) must match the single-device sort bit-for-bit, including
+    on all-equal input (splitters degrade to position splits)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from libbsc_tpu.parallel import make_mesh, make_sharded_st_step
+    from libbsc_tpu.ops.st import st_encode
+
+    rng = np.random.default_rng(7)
+    words = [b"abra ", b"cadabra ", b"alakazam ", b"xyz "]
+    text = bytearray()
+    while len(text) < (1 << 16):
+        text += words[rng.integers(0, 4)]
+    corpora = [
+        bytes(text[: 1 << 16]),
+        rng.integers(0, 256, 1 << 16, dtype=np.uint8).tobytes(),
+    ]
+    for S in (2, 4):
+        mesh = make_mesh(2 * S, dp=2, sp=S)
+        for k in (5, 8):
+            step = make_sharded_st_step(mesh, k=k)
+            for data in corpora:
+                arr = np.frombuffer(data, np.uint8)
+                blocks = jnp.asarray(np.stack([arr, arr[::-1].copy()]))
+                out, idx, ok = step(blocks)
+                assert bool(jnp.all(ok)), (S, k)
+                for b in range(2):
+                    ro, ri = st_encode(jnp.asarray(np.asarray(blocks)[b]), k)
+                    assert np.array_equal(np.asarray(out)[b], np.asarray(ro))
+                    assert int(idx[b]) == int(ri)
+
+    # degenerate case: an all-equal block sorts to the identity, so one
+    # source owns a whole destination range and overflows its all_to_all
+    # capacity — the contract is ok=False (caller falls back to the
+    # all-gather path), never a wrong answer
+    mesh = make_mesh(4, dp=2, sp=2)
+    step = make_sharded_st_step(mesh, k=5)
+    arr = np.zeros(1 << 16, np.uint8)
+    _, _, ok = step(jnp.asarray(np.stack([arr, arr])))
+    assert not bool(jnp.any(ok))
