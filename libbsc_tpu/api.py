@@ -153,9 +153,14 @@ def compress(
         mode = (mode & ~0x1F) | C.BLOCKSORTER_BWT
 
     # Block sort
+    wideaux_r = None
     if block_sorter == C.BLOCKSORTER_BWT:
         with stage("bwt_encode", len(lz)):
             index, num_indexes, indexes = engine.bwt_encode(lz, features)
+    elif block_sorter == C.BLOCKSORTER_BWT_WIDEAUX:
+        with stage("bwt_encode_wideaux", len(lz)):
+            index, num_indexes, indexes, wideaux_r = \
+                engine.bwt_encode_wideaux(lz, features)
     elif C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8:
         with stage(f"st{block_sorter}_encode", len(lz)):
             index = engine.st_encode(lz, block_sorter, features)
@@ -164,7 +169,7 @@ def compress(
         raise BscError(C.BAD_PARAMETER)
     if index < 0:
         raise BscError(index, _ERROR_NAMES.get(index, str(index)))
-    if n < 64 * 1024:
+    if n < 64 * 1024 and wideaux_r is None:
         num_indexes = 0
 
     # Entropy coding
@@ -188,13 +193,22 @@ def compress(
     else:
         with stage("coder_compress", len(lz)):
             payload = engine.coder_compress(lz, coder, features)
-    if payload is None or len(payload) + 1 + 4 * num_indexes >= n:
+    tail_len = (5 if wideaux_r is not None else 1) + 4 * num_indexes
+    if payload is None or len(payload) + tail_len >= n:
         return store(data)
 
-    tail = b""
-    if num_indexes > 0:
+    if wideaux_r is not None:
+        # wide-aux tail: [i32 aux x K][u32 K][u8 255] — the sorter id gates
+        # the layout, the 255 sentinel doubles as a sanity check
+        import struct as _struct
+
         tail = np.asarray(indexes[:num_indexes], dtype="<i4").tobytes()
-    tail += bytes([num_indexes])
+        tail += _struct.pack("<I", num_indexes) + b"\xff"
+    else:
+        tail = b""
+        if num_indexes > 0:
+            tail = np.asarray(indexes[:num_indexes], dtype="<i4").tobytes()
+        tail += bytes([num_indexes])
     payload = bytes(payload) + tail
 
     header = pack_block_header(
@@ -227,17 +241,30 @@ def _decode_to_sorter(block: bytes, expected_size: int | None = None):
         return payload
 
     features = _features
-    num_indexes = payload[-1]
-    indexes = None
-    if num_indexes > 0:
-        indexes = np.frombuffer(
-            payload[-1 - 4 * num_indexes : -1], dtype="<i4"
-        ).astype(np.int32)
-
     lzp_hash_size = (h.mode >> 16) & 0xFF
     lzp_min_len = (h.mode >> 8) & 0xFF
     coder = (h.mode >> 5) & 0x7
     block_sorter = h.mode & 0x1F
+
+    if block_sorter == C.BLOCKSORTER_BWT_WIDEAUX:
+        import struct as _struct
+
+        if len(payload) < 5 or payload[-1] != 0xFF:
+            raise BscError(C.DATA_CORRUPT)
+        (num_indexes,) = _struct.unpack_from("<I", payload, len(payload) - 5)
+        if len(payload) < 5 + 4 * num_indexes:
+            raise BscError(C.DATA_CORRUPT)
+        indexes = np.frombuffer(
+            payload[-5 - 4 * num_indexes : -5], dtype="<i4"
+        ).astype(np.int32)
+        payload = payload[: -5 - 4 * num_indexes]
+    else:
+        num_indexes = payload[-1]
+        indexes = None
+        if num_indexes > 0:
+            indexes = np.frombuffer(
+                payload[-1 - 4 * num_indexes : -1], dtype="<i4"
+            ).astype(np.int32)
 
     if coder == C.CODER_QLFC_WIDE:
         from .ops import wide
@@ -269,7 +296,7 @@ def _decode_to_sorter(block: bytes, expected_size: int | None = None):
     if isinstance(lz, int):
         raise BscError(lz, _ERROR_NAMES.get(lz, str(lz)))
 
-    if not (block_sorter == C.BLOCKSORTER_BWT
+    if not (block_sorter in (C.BLOCKSORTER_BWT, C.BLOCKSORTER_BWT_WIDEAUX)
             or C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8):
         raise BscError(C.DATA_CORRUPT)
     return {
@@ -306,6 +333,11 @@ def _run_sorter(st) -> None:
         with stage("bwt_decode", len(lz)):
             rc = engine.bwt_decode(lz, h.index, st["num_indexes"],
                                    st["indexes"], _features)
+    elif st["sorter"] == C.BLOCKSORTER_BWT_WIDEAUX:
+        with stage("bwt_decode_wideaux", len(lz)):
+            rc = engine.bwt_decode_wideaux(
+                lz, h.index, st["num_indexes"], st["indexes"],
+                engine.wideaux_rate(len(lz)), _features)
     else:
         with stage(f"st{st['sorter']}_decode", len(lz)):
             rc = engine.st_decode(lz, st["sorter"], h.index, _features)

@@ -9,7 +9,7 @@ File format (bsc.cpp:46-59, 171-178):
 
 Usage mirrors the reference:  bsc-tpu e input output [options]
                               bsc-tpu d input output [options]
-Options: -b<N> block size MB, -m<N> sorter (0=BWT, 3..8=ST), -e<N> coder
+Options: -b<N> block size MB, -m<N> sorter (0=BWT, 3..8=ST, 9=BWT+wideaux), -e<N> coder
 (1=static 2=adaptive 0=fast), -H<N> LZP hash, -M<N> LZP minlen, -p disable
 LZP/filters, -s segmentation, -r record reordering, -c contexts (f/p/a),
 -t/-T disable multithreading, -G GPU flag accepted for parity (no-op: this
@@ -319,7 +319,8 @@ with bsc. Usage: bsc-tpu <e|d> inputfile outputfile <options>
 
 Switches:
   -b<size> Block size in megabytes, default: -b25
-  -m<algo> Block sorting algorithm, default: -m0 (BWT); -m3..-m8 = ST3..ST8
+  -m<algo> Block sorting algorithm, default: -m0 (BWT); -m3..-m8 = ST3..ST8;
+           -m9 = BWT with wide aux indexes (format extension, device unbwt)
   -c<ctx>  Contexts: -cf following (default), -cp preceding, -ca autodetect
   -e<coder> Coder: -e1 static QLFC (default), -e2 adaptive QLFC, -e0 fast QLFC,
            -e4 wide-lane QLFC (TPU lockstep profile; not bsc-decodable)
@@ -370,9 +371,11 @@ def parse_args(argv):
                         bad(a)
                     p.block_size = v * 1024 * 1024
                 elif ch == "m":
-                    if v != 0 and not 3 <= v <= 8:
+                    if v != 0 and v != 9 and not 3 <= v <= 8:
                         bad(a)
-                    p.block_sorter = C.BLOCKSORTER_BWT if v == 0 else v
+                    p.block_sorter = (
+                        C.BLOCKSORTER_BWT if v == 0
+                        else C.BLOCKSORTER_BWT_WIDEAUX if v == 9 else v)
                 elif ch == "e":
                     coders = {0: C.CODER_QLFC_FAST, 1: C.CODER_QLFC_STATIC,
                               2: C.CODER_QLFC_ADAPTIVE,

@@ -17,6 +17,10 @@ GPU_NOT_ENOUGH_MEMORY = -9
 # Block sorters (libbsc.h:53-65)
 BLOCKSORTER_NONE = 0
 BLOCKSORTER_BWT = 1
+# format extension (mode-gated like CODER_QLFC_WIDE): BWT with a high-rate
+# aux-index tail (~n/4096 sampling) exposing thousands of parallel
+# inverse-LF chains for the device unbwt; old decoders reject the id
+BLOCKSORTER_BWT_WIDEAUX = 2
 BLOCKSORTER_ST3 = 3
 BLOCKSORTER_ST4 = 4
 BLOCKSORTER_ST5 = 5

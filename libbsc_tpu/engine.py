@@ -288,6 +288,63 @@ def st_decode(data: np.ndarray, k: int, index: int, features: int):
     return _pyst.st_decode(data, k, index)
 
 
+def wideaux_rate(n: int) -> int:
+    """Aux sampling rate for the wide-aux profile: the power of two giving
+    ~4096 inverse chains (min 256 so the bigram walk stays wavefronted)."""
+    r = 256
+    while r * 2 * 8192 <= n:
+        r *= 2
+    return r
+
+
+def bwt_encode_wideaux(data: np.ndarray, features: int):
+    """BWT with the wide-aux sampling rate.  Returns
+    (index, num_indexes, indexes, r)."""
+    n = len(data)
+    r = wideaux_rate(n)
+    k = (n - 1) // r
+    lib = _lib()
+    if lib is None:
+        return -10, 0, None, r  # native runtime required for this profile
+    from .native import _i32p, _u8p
+
+    buf = _as_c(data)
+    indexes = np.zeros(max(k, 1), dtype=np.int32)
+    rc = lib.tbsc_bwt_encode_rate(_u8p(buf), n, r, _i32p(indexes))
+    if rc >= 0 and buf is not data:
+        data[:] = buf
+    return rc, k, indexes[:k], r
+
+
+def bwt_decode_wideaux(data: np.ndarray, index: int, num_indexes: int,
+                       indexes, r: int, features: int):
+    """Inverse BWT for the wide-aux profile: thousands-wide parallel chain
+    chase on device when one is active, host wavefront otherwise."""
+    n = len(data)
+    if _device_sort(features) and n >= _DEVICE_MIN_BLOCK:
+        try:
+            from .ops import bwt as _opsbwt
+
+            out = _opsbwt.unbwt_wideaux_device(data, index, indexes, r)
+            if out is not None:
+                data[:] = out
+                return 0
+        except Exception:
+            pass  # silent host fallback, like the reference GPU path
+    lib = _lib()
+    if lib is None:
+        return -10
+    from .native import _i32p, _u8p
+
+    buf = _as_c(data)
+    idx = np.ascontiguousarray(np.asarray(indexes, dtype=np.int32))
+    rc = lib.tbsc_bwt_decode_rate(_u8p(buf), n, index, r, num_indexes,
+                                  _i32p(idx))
+    if rc == 0 and buf is not data:
+        data[:] = buf
+    return rc
+
+
 def st_decode_batch(arrays: list, k: int, indexes: list, features: int):
     """Inverse ST of several independent blocks with their backward walks
     interleaved in one native loop (memory-level parallelism across blocks;

@@ -27,6 +27,7 @@ from ..constants import (
     DATA_CORRUPT,
     UNEXPECTED_EOB,
     BLOCKSORTER_BWT,
+    BLOCKSORTER_BWT_WIDEAUX,
     BLOCKSORTER_ST3,
     BLOCKSORTER_ST8,
     CODER_QLFC_STATIC,
@@ -36,7 +37,8 @@ from ..constants import (
 )
 from ..utils.adler32 import adler32
 
-_VALID_SORTERS = {BLOCKSORTER_BWT} | set(range(BLOCKSORTER_ST3, BLOCKSORTER_ST8 + 1))
+_VALID_SORTERS = ({BLOCKSORTER_BWT, BLOCKSORTER_BWT_WIDEAUX}
+                  | set(range(BLOCKSORTER_ST3, BLOCKSORTER_ST8 + 1)))
 _VALID_CODERS = {CODER_QLFC_STATIC, CODER_QLFC_ADAPTIVE, CODER_QLFC_FAST,
                  CODER_QLFC_WIDE}
 

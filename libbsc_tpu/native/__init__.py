@@ -84,6 +84,9 @@ def load():
         _sig(lib.tbsc_st_decode_batch, c_int,
              [ctypes.POINTER(ctypes.c_void_p), i32p, c_int, i32p, c_int])
         _sig(lib.tbsc_wide_set_priors, c_int, [i16p])
+        _sig(lib.tbsc_bwt_encode_rate, c_int, [u8p, c_int, c_int, i32p])
+        _sig(lib.tbsc_bwt_decode_rate, c_int,
+             [u8p, c_int, c_int, c_int, c_int, i32p])
 
         # Install format tables.
         tdir = _DIR.parent / "coder" / "tables"

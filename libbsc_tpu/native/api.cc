@@ -17,6 +17,8 @@ int lzp_decode_block(const uint8_t*, const uint8_t*, uint8_t*, int, int);
 int lzp_compress(const uint8_t*, uint8_t*, int, int, int, int);
 int lzp_decompress(const uint8_t*, uint8_t*, int, int, int, int);
 int bwt_encode(uint8_t*, int, uint8_t*, int32_t*, int);
+int bwt_encode_rate(uint8_t*, int, int, int32_t*);
+int bwt_decode_rate(uint8_t*, int, int, int, int, const int32_t*);
 int bwt_decode(uint8_t*, int, int, int, const int32_t*, int);
 int st_encode(uint8_t*, int, int, int);
 uint32_t adler32(const uint8_t*, int64_t, uint32_t);
@@ -80,6 +82,15 @@ int tbsc_bwt_encode(uint8_t* T, int n, uint8_t* num_indexes, int32_t* indexes, i
 int tbsc_bwt_decode(uint8_t* T, int n, int index, int num_indexes, const int32_t* indexes,
                     int num_threads) {
   return tbsc::bwt_decode(T, n, index, num_indexes, indexes, num_threads);
+}
+
+int tbsc_bwt_encode_rate(uint8_t* T, int n, int r, int32_t* indexes) {
+  return tbsc::bwt_encode_rate(T, n, r, indexes);
+}
+
+int tbsc_bwt_decode_rate(uint8_t* T, int n, int index, int r,
+                         int num_indexes, const int32_t* indexes) {
+  return tbsc::bwt_decode_rate(T, n, index, r, num_indexes, indexes);
 }
 
 int tbsc_st_encode(uint8_t* T, int n, int k, int num_threads) {

@@ -758,6 +758,33 @@ static int aux_rate(int n) {
   return mod + 1;
 }
 
+// In-place BWT with an EXPLICIT aux sampling rate r (power of two);
+// writes (n-1)/r sampled ranks.  The wide-aux profile uses r ~ n/4096 to
+// expose thousands of parallel inverse chains (SURVEY §5's scaled
+// aux-index design); the bsc-compatible path wraps this with the
+// reference's rate.
+int bwt_encode_rate(u8* T, int n, int r, i32* indexes) {
+  if (n <= 1) return n;
+  if (r < 2 || (r & (r - 1)) != 0) return -1;
+  i32* SA = (i32*)halloc((size_t)n * sizeof(i32));
+  if (!SA) return -2;
+  const u8 last = T[n - 1];
+  int n_aux = (n - 1) / r;
+  i32 prim_slot = -1;
+  if (tbsc_fast_sais::suffix_array_fast(
+          T, SA, n, true, (i32)r - 1, indexes ? (i32)n_aux * r : -1,
+          __builtin_ctz((unsigned)r), indexes, &prim_slot) != 0) {
+    hfree(SA);
+    return -2;
+  }
+  int primary = (int)prim_slot + 1;
+  for (int j = 0; j < primary - 1; ++j) T[j + 1] = (u8)SA[j];
+  for (int j = primary; j < n; ++j) T[j] = (u8)SA[j];
+  T[0] = last;
+  hfree(SA);
+  return primary;
+}
+
 // In-place BWT of T[0..n); returns primary index (>0) or error (<0).
 // When indexes != null, writes num_indexes = (n-1)/r sampled ranks.
 int bwt_encode(u8* T, int n, u8* num_indexes, i32* indexes, int /*num_threads*/) {
@@ -915,7 +942,17 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
   // (shorter) chain carries a cheap, perfectly-predicted cutoff.
   const int K = num_indexes;     // chains of length exactly r
   const int l = n - K * r;       // last chain length, 1..r
-  i32 ck[256];
+  i32 ck_fixed[256];
+  i32* ck = ck_fixed;
+  i32* ck_heap = nullptr;
+  if (K + 1 > 256) {
+    ck_heap = new (std::nothrow) i32[(size_t)K + 1];
+    if (!ck_heap) {
+      hfree(P2); delete[] bend; delete[] cur2; delete[] fastbits; delete[] out;
+      return -2;
+    }
+    ck = ck_heap;
+  }
   ck[0] = index;
   for (int t = 1; t <= K; ++t) ck[t] = indexes[t - 1] + 1;
 
@@ -954,12 +991,23 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
   if (l & 1) out[n - 1] = T[0];
 
   std::memcpy(T, out, (size_t)n);
+  delete[] ck_heap;
   hfree(P2);
   delete[] bend;
   delete[] cur2;
   delete[] fastbits;
   delete[] out;
   return 0;
+}
+
+// Inverse BWT with an explicit aux rate (wide-aux profile host path).
+int bwt_decode_rate(u8* T, int n, int index, int r, int num_indexes,
+                    const i32* indexes) {
+  if (n <= 1) return 0;
+  if (index <= 0 || index > n) return -1;
+  if (r < 256 || (r & (r - 1)) != 0 || !indexes) return -1;
+  if (num_indexes != (n - 1) / r) return -1;
+  return unbwt_bigram(T, n, index, num_indexes, indexes, r);
 }
 
 // Inverse BWT.  index/aux semantics per the encode above.

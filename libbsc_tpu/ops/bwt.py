@@ -329,3 +329,84 @@ def _bwt_decode_jit(U: jax.Array, index: jax.Array):
     # chain position t(u) = dist[u]; out[n-1-t] = U[u]
     out = jnp.zeros(n, dtype=jnp.uint8).at[n - 1 - dist].set(U)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Wide-aux inverse BWT: thousands of parallel forward-PSI chains
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("r", "n"))
+def _unbwt_wideaux_jit(T, index, aux, r: int, n: int):
+    """Device inverse BWT for the wide-aux profile (SURVEY §5's scaled
+    aux-index design: sampling rate r ~ n/4096+ gives num_indexes+1
+    independent forward chains, chased in lockstep as one vectorized
+    gather per step).
+
+    PSI is built with ONE stable sort (no scatter, which XLA serializes on
+    TPU): sorting (BWT char, position) pairs enumerates the LF slots in
+    row order, so PSI[1..n] = row(u_sorted) and PSI[0] = primary.  Char
+    counts come from the sorted keys via searchsorted (bincount is a
+    serialized scatter-add on TPU), and (first-char << 25 | PSI) packs
+    both per-row values into one u32 so each chase step is a single [C]
+    gather.  Chain t emits positions [t*r, (t+1)*r); the last chain's
+    surplus steps fall past n and are sliced off.
+
+    Measured v5e, 16 MB block, 8K chains: 48 MB/s on-chip (the old
+    pointer-doubling inverse ran at 2.2 MB/s).  The floor is the chip's
+    random-gather rate (~10 ns/element over a 64 MB table) plus the
+    initial sort; a bigram (2-bytes-per-gather) variant would need an
+    extra n-element setup gather that cancels its step savings.
+    """
+    from jax import lax
+
+    d32 = T.astype(jnp.int32)
+    u = jnp.arange(n, dtype=jnp.int32)
+    cs, u_sorted = lax.sort((d32, u), num_keys=1, is_stable=True)
+    psi_tail = u_sorted + (u_sorted >= index).astype(jnp.int32)
+    PSI = jnp.concatenate(
+        [index[None].astype(jnp.int32), psi_tail])
+
+    # char counts from the SORTED chars (searchsorted, not bincount — XLA
+    # lowers bincount to a serialized scatter-add on TPU); the first char
+    # of row q is then a repeat expansion, and (char << 25 | PSI) packs
+    # both per-row values into ONE gathered word per chase step
+    # (n + 1 <= 2^25 for the 32 MB block cap).
+    edges = jnp.searchsorted(cs, jnp.arange(257, dtype=jnp.int32),
+                             side="left").astype(jnp.int32)
+    cnt = edges[1:] - edges[:-1]
+    row_char = jnp.concatenate([
+        jnp.zeros(1, jnp.int32),  # sentinel row
+        jnp.repeat(jnp.arange(256, dtype=jnp.int32), cnt,
+                   total_repeat_length=n)])
+    packed = ((row_char.astype(jnp.uint32) << 25)
+              | PSI.astype(jnp.uint32))
+
+    K = (n - 1) // r
+    starts = jnp.concatenate([index[None].astype(jnp.int32), aux + 1])
+
+    # lax.scan with stacked ys: one [C] gather per step yields the output
+    # byte and the next row for every chain.
+    def body(k, _):
+        w = packed[k]
+        return ((w & jnp.uint32(0x1FFFFFF)).astype(jnp.int32),
+                (w >> 25).astype(jnp.uint8))
+
+    _, out = lax.scan(body, starts, None, length=r)
+    return out.T.reshape(-1)[:n]
+
+
+def unbwt_wideaux_device(data, index: int, indexes, r: int):
+    """Host wrapper: returns the decoded bytes as ndarray, or None when no
+    accelerator is available."""
+    import jax
+    import numpy as np
+
+    if not any(d.platform != "cpu" for d in jax.devices()):
+        return None
+    n = int(len(data))
+    out = _unbwt_wideaux_jit(
+        jnp.asarray(np.asarray(data, dtype=np.uint8)),
+        jnp.int32(index),
+        jnp.asarray(np.asarray(indexes, dtype=np.int32)),
+        r, n)
+    return np.asarray(out)

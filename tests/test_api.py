@@ -138,3 +138,61 @@ def test_decompress_batch_matches_individual(rng):
     out = api.decompress_batch(blobs)
     assert out == expect
     assert out == [api.decompress(b) for b in blobs]
+
+
+def test_wideaux_profile_roundtrip(rng):
+    """BLOCKSORTER_BWT_WIDEAUX (format extension): high-rate aux tail with
+    a u32 count; round-trips across corpora and block sizes, host path."""
+    from tests.conftest import make_corpus
+
+    for kind, n in [("text", 300_000), ("runs", 120_000), ("zeros", 70_000),
+                    ("text", 1 << 20)]:
+        d = make_corpus(rng, n, kind)
+        blob = api.compress(d, block_sorter=C.BLOCKSORTER_BWT_WIDEAUX)
+        assert api.decompress(blob) == d, (kind, n)
+
+
+def test_wideaux_rejected_by_reference_binary(tmp_path, rng):
+    """Old decoders must reject sorter id 2 via mode validation."""
+    import struct
+    import subprocess
+
+    from tests.oracle import bsc_binary
+
+    bsc = bsc_binary()
+    if bsc is None:
+        import pytest
+        pytest.skip("reference binary unavailable")
+    d = make_corpus_bytes = None
+    from tests.conftest import make_corpus
+    data = make_corpus(rng, 200_000, "text")
+    blob = api.compress(data, block_sorter=C.BLOCKSORTER_BWT_WIDEAUX)
+    arch = tmp_path / "wa.bsc"
+    with open(arch, "wb") as f:
+        f.write(b"bsc1")
+        f.write(struct.pack("<i", 1))
+        f.write(struct.pack("<qbb", 0, 1, C.CONTEXTS_FOLLOWING))
+        f.write(blob)
+    r = subprocess.run([bsc, "d", str(arch), str(tmp_path / "out")],
+                       capture_output=True)
+    assert r.returncode != 0
+
+
+def test_wideaux_device_formulation_matches_host(rng):
+    """The device chain-chase formulation (run on the CPU backend) must be
+    bit-identical to the host wavefront decode."""
+    import numpy as np
+
+    from tests.conftest import make_corpus
+    from libbsc_tpu import engine
+    from libbsc_tpu.ops import bwt as opsbwt
+    import jax.numpy as jnp
+
+    d0 = np.frombuffer(make_corpus(rng, 1 << 20, "text"), np.uint8).copy()
+    d = d0.copy()
+    rc, K, aux, r = engine.bwt_encode_wideaux(d, 0)
+    assert rc > 0
+    res = opsbwt._unbwt_wideaux_jit(
+        jnp.asarray(d), jnp.int32(rc), jnp.asarray(aux, jnp.int32),
+        r, len(d))
+    assert np.array_equal(np.asarray(res), d0)

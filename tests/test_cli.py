@@ -111,7 +111,7 @@ def test_parse_rejects_bad_options():
 
     from libbsc_tpu import cli
 
-    for bad in (["-H5"], ["-M2"], ["-m9"], ["-e7"], ["-q"], ["-b0"], ["-cz"]):
+    for bad in (["-H5"], ["-M2"], ["-m10"], ["-e7"], ["-q"], ["-b0"], ["-cz"]):
         with _pytest.raises(SystemExit):
             cli.parse_args(["x", "e", "a", "b"] + bad)
 

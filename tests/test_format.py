@@ -23,7 +23,7 @@ def test_mode_roundtrip():
 
 
 def test_mode_validation():
-    assert pack_mode(2, 1, 0, 0) < 0  # invalid sorter
+    assert pack_mode(10, 1, 0, 0) < 0  # invalid sorter (2 is now wide-aux)
     assert pack_mode(1, 5, 0, 0) < 0  # invalid coder
     assert pack_mode(1, 1, 5, 128) < 0  # hash size out of range
     assert pack_mode(1, 1, 15, 3) < 0  # min len out of range
