@@ -326,6 +326,34 @@ def measure_wide(data: bytes):
             u, c, f = call(ctx_d, bit_d)
             _ = int(jnp.sum(c[:, 0]))
             best = min(best, _t.time() - t0)
+        # wide-aux device inverse BWT (BLOCKSORTER_BWT_WIDEAUX): thousands
+        # of lockstep chains, one gather per step
+        wideaux = None
+        try:
+            from libbsc_tpu.ops import bwt as _opsbwt
+
+            orig = _np.frombuffer(data[: 16 * 1024 * 1024],
+                                  _np.uint8).copy()
+            dwa = orig.copy()
+            rcx, K, auxi, r = engine.bwt_encode_wideaux(dwa, 0)
+            dj = jnp.asarray(dwa)
+            auxj = jnp.asarray(auxi, _np.int32)
+            out = _opsbwt._unbwt_wideaux_jit(dj, jnp.int32(rcx), auxj, r,
+                                             len(dwa))
+            assert _np.array_equal(_np.asarray(out), orig)
+            wa_best = float("inf")
+            for _i in range(2):
+                t0 = _t.time()
+                out = _opsbwt._unbwt_wideaux_jit(dj, jnp.int32(rcx), auxj,
+                                                 r, len(dwa))
+                _ = int(jnp.sum(out.astype(jnp.int32)))
+                wa_best = min(wa_best, _t.time() - t0)
+            wideaux = {"unbwt_onchip_mbs": round(n / 1e6 / wa_best, 1),
+                       "chains": int(K) + 1,
+                       "host_unbwt_mbs": 71.0}
+        except Exception:
+            wideaux = None
+
         res = {"kernel_mbs": round(n / 1e6 / best, 1),
                "e2e_mbs": round(n / 1e6 / e2e, 1),
                "bytes": len(payload),
@@ -337,6 +365,8 @@ def measure_wide(data: bytes):
                "lockstep_iters": IT}
         if dec_best is not None:
             res["decode_e2e_mbs"] = round(n / 1e6 / dec_best, 1)
+        if wideaux is not None:
+            res["wideaux"] = wideaux
         return res
     except Exception:
         return None
