@@ -308,22 +308,23 @@ def measure_wide(data: bytes):
         lib.tbsc_wide_balanced_sizes(_u8p(buf), n, 1024, _i32p(sizes))
         chunk = -(-n // 1024)
         cap = 9 * (16 * chunk) + 64
-        ctx = _np.empty((1024, cap), dtype=_np.uint8)
-        bit = _np.empty((1024, cap), dtype=_np.uint8)
-        mb = lib.tbsc_wide_schedule(_u8p(buf), n, 1024, cap, _u8p(ctx),
-                                    _u8p(bit), _i32p(sizes))
+        cap4 = -(-cap // 4)
+        pk = _np.zeros((1024, cap4), dtype=_np.uint8)
+        mb = lib.tbsc_wide_schedule_packed(_u8p(buf), n, 1024, cap4,
+                                           _u8p(pk), _i32p(sizes))
         TI = 256
         IT = wide_kernels._it_bucket(max(mb, TI), TI)
         MAXROWS = -(-((IT * 8) + 2048) // 1024) * 8
-        ctx_d = jnp.asarray(ctx[:, :IT]).reshape(8, 128, IT).transpose(2, 0, 1)
-        bit_d = jnp.asarray(bit[:, :IT]).reshape(8, 128, IT).transpose(2, 0, 1)
+        packed = _np.ascontiguousarray(
+            pk[:, : IT // 4].reshape(8, 128, IT // 4).transpose(2, 0, 1))
+        packed_d = jnp.asarray(packed)
         call = wide_kernels._coder_call(TI, IT, MAXROWS, False)
-        u, c, f = call(ctx_d, bit_d)
+        u, c, f = call(packed_d)
         _ = int(c[0, 0])
         best = float("inf")
         for _i in range(2):
             t0 = _t.time()
-            u, c, f = call(ctx_d, bit_d)
+            u, c, f = call(packed_d)
             _ = int(jnp.sum(c[:, 0]))
             best = min(best, _t.time() - t0)
         # wide-aux device inverse BWT (BLOCKSORTER_BWT_WIDEAUX): thousands

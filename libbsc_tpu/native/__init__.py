@@ -79,6 +79,8 @@ def load():
              [u8p, ctypes.c_int64, c_int, c_int, i32p, i32p, i32p])
         _sig(lib.tbsc_wide_schedule, c_int,
              [u8p, ctypes.c_int64, c_int, c_int, u8p, u8p, i32p])
+        _sig(lib.tbsc_wide_schedule_packed, c_int,
+             [u8p, ctypes.c_int64, c_int, c_int, u8p, i32p])
         _sig(lib.tbsc_adler32, ctypes.c_uint32,
              [u8p, ctypes.c_int64, ctypes.c_uint32])
         _sig(lib.tbsc_st_decode_batch, c_int,

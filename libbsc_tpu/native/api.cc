@@ -30,6 +30,7 @@ int wide_balanced_sizes(const uint8_t*, int64_t, int, int32_t*);
 int wide_decode(const uint8_t*, int64_t, uint8_t*, int64_t);
 int wide_ranks(const uint8_t*, int64_t, int, int, int32_t*, int32_t*, int32_t*);
 int wide_schedule(const uint8_t*, int64_t, int, int, uint8_t*, uint8_t*, const int32_t*);
+int wide_schedule_packed(const uint8_t*, int64_t, int, int, uint8_t*, const int32_t*);
 }  // namespace tbsc
 
 extern "C" {
@@ -124,6 +125,12 @@ int tbsc_wide_ranks(const uint8_t* in, int64_t n, int n_lanes, int cap,
 int tbsc_wide_schedule(const uint8_t* in, int64_t n, int n_lanes, int cap,
                        uint8_t* ctx, uint8_t* bit, const int32_t* sizes) {
   return tbsc::wide_schedule(in, n, n_lanes, cap, ctx, bit, sizes);
+}
+
+int tbsc_wide_schedule_packed(const uint8_t* in, int64_t n, int n_lanes,
+                              int cap4, uint8_t* packed,
+                              const int32_t* sizes) {
+  return tbsc::wide_schedule_packed(in, n, n_lanes, cap4, packed, sizes);
 }
 
 uint32_t tbsc_adler32(const uint8_t* p, int64_t n, uint32_t adler) {

@@ -483,6 +483,43 @@ int wide_ranks(const u8* input, i64 n, int n_lanes, int cap,
 // maximum bit count over lanes, or -1 if cap is too small.
 // -------------------------------------------------------------------------
 
+// Packed variant: per lane, emit ONLY the bit stream as 2-bit fields
+// (bit, active=1), 4 iterations per byte — the device kernel derives the
+// contexts itself.  cap4 = bytes per lane (covers cap4*4 iterations).
+int wide_schedule_packed(const u8* input, i64 n, int n_lanes, int cap4,
+                         u8* packed_out, const int32_t* sizes) {
+  using namespace wide;
+  const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
+  const i64 chunk = (n + L - 1) / L;
+  i64 maxbits = 0;
+  i64 run_start = 0;
+  for (int k = 0; k < L; ++k) {
+    i64 start, s;
+    if (sizes) { start = run_start; s = sizes[k]; run_start += s; }
+    else {
+      start = (i64)k * chunk;
+      s = start < n ? ((n - start) < chunk ? (n - start) : chunk) : 0;
+    }
+    Lane ln;
+    ln.init_model();
+    ln.in = input + start;
+    ln.in_end = input + start + s;
+    u8* po = packed_out + (i64)k * cap4;
+    std::memset(po, 0, (size_t)cap4);
+    i64 nb = 0;
+    if (s > 0 && next_run_encode(ln)) {
+      while (ln.phase != PH_DONE) {
+        if (nb >= (i64)cap4 * 4) return -1;
+        int fld = next_bit_encode(ln) | 2;  // bit | active
+        po[nb >> 2] = (u8)(po[nb >> 2] | (fld << ((nb & 3) * 2)));
+        ++nb;
+      }
+    }
+    if (nb > maxbits) maxbits = nb;
+  }
+  return (int)maxbits;
+}
+
 int wide_schedule(const u8* input, i64 n, int n_lanes, int cap,
                   u8* ctx_out, u8* bit_out, const int32_t* sizes) {
   using namespace wide;

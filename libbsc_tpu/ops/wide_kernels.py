@@ -96,8 +96,11 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             x = jnp.where(((f >> s) & 1) == 1, sh, x)
         return x
 
-    def kernel(ctx_ref, bit_ref, out_ref, counts_ref, flow_ref,
+    PH_RFLAG, PH_REXP, PH_RMAN, PH_UFLAG, PH_UEXP, PH_UMAN = range(6)
+
+    def kernel(pk_ref, out_ref, counts_ref, flow_ref,
                probs, low_s, rng_s, stA, stB, fills, tile, rowcnt, tilecnt,
+               phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s,
                sem):
         step = pl.program_id(0)
 
@@ -110,6 +113,10 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             stA[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             stB[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             fills[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+            phase_s[...] = jnp.zeros((GROUPS, 128), jnp.int32)  # PH_RFLAG
+            for ref in (t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s,
+                        pub_s):
+                ref[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             for g in range(GROUPS):
                 rowcnt[g] = 0
                 tilecnt[g] = 0
@@ -126,11 +133,41 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             tilecnt[g] = tc + 1
 
         def row_body(i, _):
-            ctxlo = ctx_ref[i].astype(jnp.int32)
-            bplane = bit_ref[i].astype(jnp.int32)
-            ctx = ctxlo | (((bplane >> 1) & 1) << 8)
-            bit = bplane & 1
-            active = (bplane & 128) == 0
+            # 2-bit fields packed 4 iterations per byte: bit(0), active(1).
+            # The context is DERIVED in-kernel by the same per-lane state
+            # machine the decode kernel runs — the host ships only the bit
+            # stream (~8x less H2D than the old (ctx, bit) planes).
+            byte = pk_ref[i >> 2].astype(jnp.int32)
+            fld = (byte >> ((i & 3) * 2)) & 3
+            bit = fld & 1
+            active = (fld & 2) != 0
+
+            phase = phase_s[...]
+            t = t_s[...]
+            brs = brs_s[...]
+            rh = rh_s[...]
+            uh = uh_s[...]
+            prb = prb_s[...]
+            pub = pub_s[...]
+            val0 = val_s[...]
+            rank0 = rank_s[...]
+            rmoff = jnp.zeros((GROUPS, 128), jnp.int32)
+            for b, off in ((3, 1), (4, 4), (5, 11), (6, 26), (7, 41),
+                           (8, 56)):
+                rmoff = jnp.where(brs == b, off, rmoff)
+            rankb = jnp.where(rank0 == 0, 0,
+                              jnp.where(rank0 <= 2, 1, 2))
+            ctx = jnp.where(
+                phase == PH_RFLAG, rh,
+                jnp.where(phase == PH_REXP,
+                          16 + 7 * prb + 21 * (rh & 1) + t - 1,
+                jnp.where(phase == PH_RMAN,
+                          58 + rmoff + jnp.minimum(val0 - 1, 14),
+                jnp.where(phase == PH_UFLAG, 129 + 3 * uh + rankb,
+                jnp.where(phase == PH_UEXP, 177 + 24 * pub + t - 1,
+                          249 + 16 * (brs > 3).astype(jnp.int32)
+                          + jnp.minimum(val0, 15))))))
+            ctx = jnp.where(active, ctx, 511)
 
             # one-hot model lookup + update over the context axis
             p = jnp.zeros((GROUPS, 128), jnp.int32)
@@ -195,6 +232,98 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
                     def _():
                         flush_group(g)
                         rowcnt[g] = 0
+
+            # ---- state machine (mirror of the decode kernel's; a lane's
+            # state freezes once its bit stream goes inactive) ----
+            is_rf = active & (phase == PH_RFLAG)
+            is_re = active & (phase == PH_REXP)
+            is_rm = active & (phase == PH_RMAN)
+            is_uf = active & (phase == PH_UFLAG)
+            is_ue = active & (phase == PH_UEXP)
+            is_um = active & (phase == PH_UMAN)
+
+            rh_s[...] = jnp.where(is_rf, ((rh << 1) | bit) & 0xF, rh)
+            uh_s[...] = jnp.where(is_uf, ((uh << 1) | bit) & 0xF, uh)
+
+            b3 = jnp.where(brs <= 1, 0, jnp.where(brs <= 3, 1, 2))
+            um_done = is_um & (t + 1 == brs - 1)
+            comp1 = is_uf & (bit == 0)
+            comp = comp1 | um_done
+
+            np_ = phase
+            nt = t
+            nbrs = brs
+            nval = val0
+            nrank = rank0
+            nprb = prb
+            npub = pub
+
+            np_ = jnp.where(is_rf & (bit == 1), PH_REXP, np_)
+            nt = jnp.where(is_rf & (bit == 1), 1, nt)
+            nbrs = jnp.where(is_rf & (bit == 1), 1, nbrs)
+            np_ = jnp.where(is_rf & (bit == 0), PH_UFLAG, np_)
+            nrank = jnp.where(is_rf & (bit == 0), 0, nrank)
+            nprb = jnp.where(is_rf & (bit == 0), 0, nprb)
+
+            re_cont = is_re & (bit == 1)
+            hit_cap = re_cont & (brs + 1 == W.RANK_EXP_CAP)
+            np_ = jnp.where(hit_cap, PH_RMAN, np_)
+            nval = jnp.where(hit_cap, 1, nval)
+            nprb = jnp.where(hit_cap,
+                             jnp.where(brs + 1 <= 1, 0,
+                                       jnp.where(brs + 1 <= 3, 1, 2)), nprb)
+            nbrs = jnp.where(re_cont, brs + 1, nbrs)
+            nt = jnp.where(re_cont & ~hit_cap, t + 1, nt)
+            nt = jnp.where(hit_cap, 0, nt)
+            re_stop = is_re & (bit == 0)
+            nprb = jnp.where(re_stop, b3, nprb)
+            one_rank = re_stop & (brs == 1)
+            np_ = jnp.where(one_rank, PH_UFLAG, np_)
+            nrank = jnp.where(one_rank, 1, nrank)
+            rm_multi = re_stop & (brs != 1)
+            np_ = jnp.where(rm_multi, PH_RMAN, np_)
+            nval = jnp.where(rm_multi, 1, nval)
+            nt = jnp.where(rm_multi, 0, nt)
+
+            rm_done = is_rm & (t + 1 == brs - 1)
+            nval = jnp.where(is_rm, (val0 << 1) | bit, nval)
+            nt = jnp.where(is_rm & ~rm_done, t + 1, nt)
+            np_ = jnp.where(rm_done, PH_UFLAG, np_)
+            nrank = jnp.where(rm_done, (val0 << 1) | bit, nrank)
+
+            np_ = jnp.where(is_uf & (bit == 1), PH_UEXP, np_)
+            nt = jnp.where(is_uf & (bit == 1), 1, nt)
+            nbrs = jnp.where(is_uf & (bit == 1), 1, nbrs)
+            npub = jnp.where(comp1, 0, npub)
+
+            ue_cont = is_ue & (bit == 1)
+            ue_cap = ue_cont & (brs + 1 == W.RUN_EXP_CAP)
+            nbrs = jnp.where(ue_cont, brs + 1, nbrs)
+            nt = jnp.where(ue_cont & ~ue_cap, t + 1, nt)
+            npub = jnp.where(ue_cap,
+                             jnp.where(brs + 1 <= 1, 0,
+                                       jnp.where(brs + 1 <= 3, 1, 2)), npub)
+            np_ = jnp.where(ue_cap, PH_UMAN, np_)
+            nval = jnp.where(ue_cap, 1, nval)
+            nt = jnp.where(ue_cap, 0, nt)
+            ue_stop = is_ue & (bit == 0)
+            npub = jnp.where(ue_stop, b3, npub)
+            np_ = jnp.where(ue_stop, PH_UMAN, np_)
+            nval = jnp.where(ue_stop, 1, nval)
+            nt = jnp.where(ue_stop, 0, nt)
+
+            nval = jnp.where(is_um, (val0 << 1) | bit, nval)
+            nt = jnp.where(is_um & ~um_done, t + 1, nt)
+
+            np_ = jnp.where(comp, PH_RFLAG, np_)
+
+            phase_s[...] = np_
+            t_s[...] = nt
+            brs_s[...] = nbrs
+            val_s[...] = nval
+            rank_s[...] = nrank
+            prb_s[...] = nprb
+            pub_s[...] = npub
             return 0
 
         lax.fori_loop(0, TI, row_body, 0)
@@ -223,8 +352,7 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
         num_scalar_prefetch=0,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((TI, GROUPS, 128), lambda s: (s, 0, 0)),
-            pl.BlockSpec((TI, GROUPS, 128), lambda s: (s, 0, 0)),
+            pl.BlockSpec((TI // 4, GROUPS, 128), lambda s: (s, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -241,8 +369,9 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             pltpu.VMEM((GROUPS, 8, 128), jnp.int32),      # tile
             pltpu.SMEM((GROUPS,), jnp.int32),             # rowcnt
             pltpu.SMEM((GROUPS,), jnp.int32),             # tilecnt
-            pltpu.SemaphoreType.DMA,
-        ],
+        ] + [pltpu.VMEM((GROUPS, 128), jnp.int32)
+             for _ in range(9)]                            # state machine
+        + [pltpu.SemaphoreType.DMA],
     )
 
     import jax
@@ -306,12 +435,13 @@ def device_encode(data: bytes, interpret: bool = False):
     else:
         sizes = None
 
-    # native prep: per-lane (ctx, bit) planes, lane-major
+    # native prep: per-lane PACKED bit stream (2-bit fields, 4 per byte —
+    # the kernel derives contexts itself, so only ~n*9/8 bits cross H2D)
     cap = 9 * (16 * chunk) + 64  # worst-case bits per lane (balanced cap 16x)
-    ctx = np.empty((LANES, cap), dtype=np.uint8)
-    bit = np.empty((LANES, cap), dtype=np.uint8)
-    max_bits = lib.tbsc_wide_schedule(_u8p(buf), n, LANES, cap,
-                                      _u8p(ctx), _u8p(bit), sizes_p)
+    cap4 = -(-cap // 4)
+    pk = np.zeros((LANES, cap4), dtype=np.uint8)
+    max_bits = lib.tbsc_wide_schedule_packed(_u8p(buf), n, LANES, cap4,
+                                             _u8p(pk), sizes_p)
     if max_bits < 0:
         return None
 
@@ -319,14 +449,11 @@ def device_encode(data: bytes, interpret: bool = False):
     IT = _it_bucket(max(max_bits, TI), TI)
     MAXROWS = -(-((IT * 8) + 2048) // 1024) * 8  # per-group unit bound, tiles
 
-    # iteration-major [IT, GROUPS, 128] planes
-    ctx_d = jnp.asarray(ctx[:, :IT]).reshape(GROUPS, 128, IT) \
-        .transpose(2, 0, 1)
-    bit_d = jnp.asarray(bit[:, :IT]).reshape(GROUPS, 128, IT) \
-        .transpose(2, 0, 1)
+    packed = np.ascontiguousarray(
+        pk[:, : IT // 4].reshape(GROUPS, 128, IT // 4).transpose(2, 0, 1))
 
     units_d, counts_d, flow_d = _coder_call(TI, IT, MAXROWS, interpret)(
-        ctx_d, bit_d)
+        jnp.asarray(packed))
     counts = np.asarray(counts_d)[:, 0]
     used_rows = int(-(-int(counts.max()) // 128)) + 8
     units = np.asarray(units_d[:, :used_rows])  # slim the D2H transfer
