@@ -104,46 +104,51 @@ def measure_default_vs_reference(data: bytes):
     # phases, so ours-block / ref-block must alternate at ~seconds
     # granularity or a phase boundary lands between the two sides and
     # skews the ratio by 20%+.
-    enc_dt = ref_enc_dt = float("inf")
+    # Per-BLOCK minima over reps (not min of per-rep sums): a multi-minute
+    # slow phase then punishes only the block timings it actually covered,
+    # identically for both sides.
+    nb = len(blocks)
+    enc_best = [float("inf")] * nb
+    ref_enc_best = [float("inf")] * nb
     payloads = None
     sizes = []
     for _ in range(5):
-        pl, sz, mine, theirs = [], [], 0.0, 0.0
-        for blk, ob in zip(blocks, outbufs if lib is not None else blocks):
+        pl, sz = [], []
+        for bi, (blk, ob) in enumerate(
+                zip(blocks, outbufs if lib is not None else blocks)):
             t0 = time.time()
             pl.append(B.compress(blk))
-            mine += time.time() - t0
+            enc_best[bi] = min(enc_best[bi], time.time() - t0)
             if lib is not None:
                 t0 = time.time()
                 r = lib.o_compress(blk, ob, len(blk), 15, 128, 1, 1, 0)
-                theirs += time.time() - t0
+                ref_enc_best[bi] = min(ref_enc_best[bi], time.time() - t0)
                 if r < 0:
                     lib = None
                 else:
                     sz.append(r)
         payloads, sizes = pl, sz
-        enc_dt = min(enc_dt, mine)
-        if lib is not None:
-            ref_enc_dt = min(ref_enc_dt, theirs)
+    enc_dt = sum(enc_best)
+    ref_enc_dt = sum(ref_enc_best)
 
-    dec_dt = ref_dec_dt = float("inf")
+    dec_best = [float("inf")] * nb
+    ref_dec_best = [float("inf")] * nb
     for _ in range(5):
-        parts, mine, theirs = [], 0.0, 0.0
+        parts = []
         for bi, (blk, p) in enumerate(zip(blocks, payloads)):
             t0 = time.time()
             parts.append(B.decompress(p))
-            mine += time.time() - t0
+            dec_best[bi] = min(dec_best[bi], time.time() - t0)
             if lib is not None:
                 t0 = time.time()
                 r = lib.o_decompress(outbufs[bi].raw[:sizes[bi]], sizes[bi],
                                      decbuf, len(blk), 0)
-                theirs += time.time() - t0
+                ref_dec_best[bi] = min(ref_dec_best[bi], time.time() - t0)
                 if r < 0:
                     lib = None
         restored = b"".join(parts)
-        dec_dt = min(dec_dt, mine)
-        if lib is not None:
-            ref_dec_dt = min(ref_dec_dt, theirs)
+    dec_dt = sum(dec_best)
+    ref_dec_dt = sum(ref_dec_best)
     assert restored == data, "default-config round-trip mismatch"
 
     ours = {"enc_mbs": round(n / 1e6 / enc_dt, 2),

@@ -39,6 +39,7 @@ using u64 = uint64_t;
 static const int kFlag = 0xf2;
 
 static inline u32 ld32(const u8* p) { u32 v; std::memcpy(&v, p, 4); return v; }
+static inline uint64_t ld64(const u8* p) { uint64_t v; std::memcpy(&v, p, 8); return v; }
 
 // context of position p = previous 4 bytes, oldest in the high byte
 static inline u32 ctx_at(const u8* p) { return __builtin_bswap32(ld32(p - 4)); }
@@ -76,21 +77,30 @@ int lzp_encode_block(const u8* input, const u8* input_end, u8* output, u8* outpu
     for (int w = 0; w < wlen; ++w)
       hbuf[w] = ctx_hash(ctx_at(base + pos + w), mask);
 
+    // Pass A: probe/update the whole window WITHOUT emitting; stop at the
+    // first real match.  Pass B then emits the literal run in bulk (memcpy
+    // when the run holds no flag byte — the dominant case on incompressible
+    // data, where the old byte-at-a-time interleave was ~25% slower than
+    // the reference's scan).  Stream bytes are identical.
     bool jumped = false;
-    for (int w = 0; w < wlen; ++w) {
+    int match_at = -1, match_len = 0;
+    u8 hadcand[W];  // flag-byte literals are escaped ONLY at positions
+                    // that had a table candidate (stream rule)
+    int w = 0;
+    for (; w < wlen; ++w) {
       if (w + HPF < wlen) __builtin_prefetch(&tab[hbuf[w + HPF]], 1);
       const int at = pos + w;
       const int cand = tab[hbuf[w]];
       tab[hbuf[w]] = at;
-      const u8 lit = base[at];
-      if (cand <= 0) {
-        *output++ = lit;
-        continue;
-      }
+      hadcand[w] = cand > 0;
+      if (cand <= 0) continue;
       const u8* cur = base + at;
       const u8* ref = base + cand;
       // selective probes first (tail of the minimal match, then head);
-      // both are implied by any true >= min_len match
+      // both are implied by any true >= min_len match.  (The exact match
+      // CHOICES differ from the reference's — its heuristic gate is
+      // quantized to its 4-way unrolled group base — so LZP streams are
+      // mutually decodable rather than byte-identical, as in rounds 1-2.)
       if (ld32(cur + min_len - 4) == ld32(ref + min_len - 4) &&
           ld32(cur) == ld32(ref)) {
         if (heur > at && ld32(base + heur) != ld32(ref + (heur - at))) {
@@ -102,22 +112,38 @@ int lzp_encode_block(const u8* input, const u8* input_end, u8* output, u8* outpu
           if (len >= min_len) {
             len += 2 * (cur[len] == ref[len] && cur[len + 1] == ref[len + 1]);
             len += (cur[len] == ref[len]);
-            *output++ = kFlag;
-            for (int rem = len - min_len; ; rem -= 254) {
-              if (rem < 254) { *output++ = (u8)rem; break; }
-              *output++ = 254;
-              if (output >= out_eob) break;
-            }
-            // window positions past here are intra-match: no table updates
-            pos = at + len;
-            jumped = true;
+            match_at = at;
+            match_len = len;
             break;
           }
           if (heur < at + len) heur = at + len;
         }
       }
-      *output++ = lit;
-      if (lit == kFlag) *output++ = 255;
+    }
+    {  // pass B: literals [pos, pos + w)
+      const u8* src = base + pos;
+      int lits = w;
+      if (std::memchr(src, kFlag, (size_t)lits) == nullptr) {
+        std::memcpy(output, src, (size_t)lits);
+        output += lits;
+      } else {
+        for (int j = 0; j < lits; ++j) {
+          u8 lit = src[j];
+          *output++ = lit;
+          if (lit == kFlag && hadcand[j]) *output++ = 255;
+        }
+      }
+    }
+    if (match_at >= 0) {
+      *output++ = kFlag;
+      for (int rem = match_len - min_len; ; rem -= 254) {
+        if (rem < 254) { *output++ = (u8)rem; break; }
+        *output++ = 254;
+        if (output >= out_eob) break;
+      }
+      // window positions past the match are intra-match: no table updates
+      pos = match_at + match_len;
+      jumped = true;
     }
     if (!jumped) pos += wlen;
   }
@@ -133,6 +159,7 @@ int lzp_encode_block(const u8* input, const u8* input_end, u8* output, u8* outpu
     if (cand > 0) {
       const u8* cur = base + pos;
       const u8* ref = base + cand;
+      int mlen = 0;
       if (ld32(cur + min_len - 4) == ld32(ref + min_len - 4) &&
           ld32(cur) == ld32(ref)) {
         if (heur > pos && ld32(base + heur) != ld32(ref + (heur - pos))) {
@@ -144,17 +171,21 @@ int lzp_encode_block(const u8* input, const u8* input_end, u8* output, u8* outpu
           if (len >= min_len) {
             len += 2 * (cur[len] == ref[len] && cur[len + 1] == ref[len + 1]);
             len += (cur[len] == ref[len]);
-            *output++ = kFlag;
-            for (int rem = len - min_len; ; rem -= 254) {
-              if (rem < 254) { *output++ = (u8)rem; break; }
-              *output++ = 254;
-              if (output >= out_eob) break;
-            }
-            pos += len;
-            continue;
+            mlen = len;
+          } else if (heur < pos + len) {
+            heur = pos + len;
           }
-          if (heur < pos + len) heur = pos + len;
         }
+      }
+      if (mlen > 0) {
+        *output++ = kFlag;
+        for (int rem = mlen - min_len; ; rem -= 254) {
+          if (rem < 254) { *output++ = (u8)rem; break; }
+          *output++ = 254;
+          if (output >= out_eob) break;
+        }
+        pos += mlen;
+        continue;
       }
       *output++ = lit;
       ++pos;

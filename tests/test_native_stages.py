@@ -243,3 +243,32 @@ def test_st_tiny_inputs_roundtrip(lib, rng, k):
             D = T.copy()
             assert lib.tbsc_st_decode(native._u8p(D), n, k, idx, 1) == 0
             assert np.array_equal(D, d), (k, n, alpha)
+
+
+def test_lzp_flag_byte_stress_mutually_decodable(lib, oracle, rng):
+    """Flag-byte (0xf2) heavy inputs: escapes apply only at positions with
+    a table candidate.  LZP streams are mutually decodable rather than
+    byte-identical (the reference's match choices depend on its unrolled
+    group alignment), so each encoder's stream must decode with the OTHER
+    side's decoder."""
+    f2heavy = (b"\xf2" * 50 + rng.bytes(100) + b"\xf2\xf2\xf2") * 2000
+    f2match = (b"\xf2" * 300 + rng.bytes(64)) * 500
+    for data in (f2heavy, f2match):
+        d = np.frombuffer(data, dtype=np.uint8).copy()
+        out = np.empty(len(d) * 2 + 4096, dtype=np.uint8)
+        r = oracle.o_lzp_compress(d.ctypes.data_as(u8p),
+                                  out.ctypes.data_as(u8p), len(d), 15, 128, 0)
+        mout = np.empty(len(d) * 2 + 4096, dtype=np.uint8)
+        m = lib.tbsc_lzp_compress(native._u8p(d), native._u8p(mout), len(d),
+                                  15, 128, 1)
+        assert (r < 0) == (m < 0)
+        if r > 0:
+            dec = np.zeros(len(d) + 64, dtype=np.uint8)
+            rc = oracle.o_lzp_decompress(mout.ctypes.data_as(u8p),
+                                         dec.ctypes.data_as(u8p), m, 15,
+                                         128, 0)
+            assert rc == len(d) and np.array_equal(dec[:rc], d)
+            dec2 = np.zeros(len(d) + 64, dtype=np.uint8)
+            rc2 = lib.tbsc_lzp_decompress(native._u8p(out), native._u8p(dec2),
+                                          r, 15, 128, 1)
+            assert rc2 == len(d) and np.array_equal(dec2[:rc2], d)
