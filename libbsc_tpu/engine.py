@@ -35,8 +35,36 @@ _bucket_locks: dict = {}
 _DEVICE_MIN_BLOCK = 1 << 20
 
 
+_mallopt_done = False
+
+
+def _tune_allocator() -> None:
+    """Keep large buffers on the reusable heap (glibc mallopt).
+
+    The per-block working buffers are tens of MB; glibc's default mmap
+    threshold maps and unmaps them every call, and on this host a fresh
+    100 MB first-touch can cost SECONDS of CPU (hypervisor-level lazy
+    memory).  Routing big allocations through brk and disabling trim keeps
+    them cached across calls — the allocator-hook counterpart of the
+    reference's bsc_malloc customization point (platform.cpp:126-190).
+    """
+    global _mallopt_done
+    if _mallopt_done:
+        return
+    _mallopt_done = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-4, 0)           # M_MMAP_MAX = 0
+        libc.mallopt(-1, 2**31 - 1)   # M_TRIM_THRESHOLD: never trim
+    except Exception:
+        pass
+
+
 def init(features: int) -> None:
     global _native, _num_threads
+    _tune_allocator()
     if _force != "numpy":
         from . import native as native_mod
 

@@ -48,7 +48,11 @@ inline void* halloc(size_t bytes) {
   void* p = aligned_alloc(kHuge, aligned);
   if (!p) return malloc(bytes);  // plain pages as a fallback
 #if defined(__linux__)
-  madvise(p, aligned, MADV_HUGEPAGE);
+  // THP advice is opt-in: on hosts with heavy memory fragmentation the
+  // fault-time compaction plus khugepaged background collapsing can stall
+  // a single-core process for seconds (observed here), outweighing the
+  // ~25% TLB win of 2 MB pages on the pointer-chase walks.
+  if (getenv("TBSC_THP")) madvise(p, aligned, MADV_HUGEPAGE);
 #endif
   {
     std::lock_guard<std::mutex> g(mu);
@@ -68,7 +72,7 @@ inline void hfree(void* p) {
       sz = it->second;
       sizes().erase(it);
     }
-    if (sz > slot_sz) {
+    if (sz >= slot_sz && sz > 0) {
       void* old = slot;
       slot = p;
       size_t old_sz = slot_sz;
