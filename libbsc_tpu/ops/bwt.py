@@ -9,9 +9,13 @@ rank-and-segment + segmented sorts until fully ranked) — shaped for XLA/TPU:
   therefore built from sorts/rolls/scans only: `rank[i+k]` is a dynamic
   `jnp.roll` (never a gather), and the inverse permutation comes from a
   second 1-key sort (never a scatter).
-- the bootstrap sorts the first 16 bytes directly (4 u32 words + a
-  remaining-length tiebreak) instead of starting from single-byte ranks,
-  eliminating two doubling rounds.
+- the bootstrap sorts the first 15 bytes directly (3 u32 words + one word
+  packing bytes 12..14 with a remaining-length tiebreak) instead of starting
+  from single-byte ranks, eliminating two doubling rounds.
+- after the unresolved count drops under n/4, rounds run over a COMPACTED
+  active set at a static bucket width (n/4, then n/32) inside the same
+  compiled while_loop — libcubwt's unresolved-segments-only strategy
+  (libcubwt.cu:1475-1702) with no per-round host sync.
 - ranks use the group-start (Karkkainen-Sanders) convention, so a partial
   re-rank of one group is `group_base + local_offset` — this is what makes
   the segmented variant below possible.
@@ -64,11 +68,15 @@ def _log2_ceil(n: int) -> int:
 # shared round pieces (all sort/roll/scan — no gathers or scatters)
 # ---------------------------------------------------------------------------
 
+_BOOT_DEPTH = 15
+
+
 def _bootstrap(data: jax.Array):
-    """Depth-16 bootstrap: sort on 4 big-endian u32 words + remaining length.
+    """Depth-15 bootstrap: sort on 3 big-endian u32 words + a fourth word
+    packing bytes 12..14 with the remaining length (4 sort keys total).
 
     Returns (rank, unresolved_mask) in position order, rank in group-start
-    convention.  The remaining-length key resolves suffix-prefix ties (a
+    convention.  The remaining-length tiebreak resolves suffix-prefix ties (a
     shorter suffix that is a prefix of a longer one sorts first and no later
     round could separate them, as both windows run off the end).
     """
@@ -80,15 +88,16 @@ def _bootstrap(data: jax.Array):
         return jnp.where(idx + j < n, jnp.roll(d32, -j), 0)
 
     words = []
-    for w in range(4):
+    for w in range(3):
         acc = jnp.zeros(n, dtype=jnp.uint32)
         for j in range(4):
             acc = (acc << 8) | pbyte(4 * w + j)
         words.append(acc)
-    rem = jnp.minimum(n - idx, 16).astype(jnp.uint32)
+    rem = jnp.minimum(n - idx, _BOOT_DEPTH).astype(jnp.uint32)
+    w3 = (((pbyte(12) << 8 | pbyte(13)) << 8 | pbyte(14)) << 8) | rem
+    words.append(w3)
 
-    sorted_all = lax.sort(tuple(words) + (rem, idx), num_keys=5,
-                          is_stable=True)
+    sorted_all = lax.sort(tuple(words) + (idx,), num_keys=4, is_stable=True)
     pos_s = sorted_all[-1]
     heads = jnp.zeros(n, dtype=jnp.bool_).at[0].set(True)
     for col in sorted_all[:-1]:
@@ -100,11 +109,17 @@ def _bootstrap(data: jax.Array):
 def _rank_mask_to_position_order(heads: jax.Array, pos_s: jax.Array, n: int):
     """From sorted-order group heads + the sorted->position permutation,
     build position-ordered (group-start ranks, unresolved mask) with one
-    1-key sort (no scatter)."""
+    1-key sort (no scatter).  For n < 2^25 the (rank, mask) pair rides the
+    sort as ONE packed i32 payload (gstart<<1 | unresolved) — one fewer
+    n-length array through the sort."""
     pos = jnp.arange(n, dtype=jnp.int32)
     gstart = lax.cummax(jnp.where(heads, pos, -1))
     nxt_head = jnp.concatenate([heads[1:], jnp.ones(1, dtype=jnp.bool_)])
     unresolved = ~(heads & nxt_head)
+    if n < (1 << 25):
+        packed = (gstart << 1) | unresolved.astype(jnp.int32)
+        _, pk = lax.sort((pos_s, packed), num_keys=1, is_stable=True)
+        return pk >> 1, (pk & 1).astype(jnp.bool_)
     _, rank, mask = lax.sort(
         (pos_s, gstart, unresolved.astype(jnp.int32)), num_keys=1,
         is_stable=True)
@@ -125,28 +140,93 @@ def _full_round(rank: jax.Array, k: jax.Array, n: int):
 
 
 # ---------------------------------------------------------------------------
-# traceable variant (usable under vmap/shard_map): full rounds in a while_loop
+# traceable variant (usable under vmap/shard_map): full rounds, then bucketed
+# rounds over a compacted active set — all inside while_loops (no host syncs)
 # ---------------------------------------------------------------------------
+
+def _bucket_round_compact(rank: jax.Array, uidx: jax.Array, k: jax.Array,
+                          n: int):
+    """One doubling round over the compacted active set uidx (dead slots
+    hold n).  Sound because an unresolved group's members are ALL unresolved
+    (a group is a maximal run of equal ranks), so every member is in the
+    bucket and the (r1, r2) subgroup offsets are globally correct.
+
+    This is libcubwt's "segmented sort of unresolved groups only"
+    (libcubwt.cu:1475-1702) without the per-round host sync that made the
+    round-2 host-driven variant lose to the tunnel RTT: the bucket size is
+    static, so the whole tail phase stays inside one compiled while_loop.
+    """
+    m = uidx.shape[0]
+    valid = uidx < n
+    r1 = jnp.where(valid,
+                   jnp.take(rank, uidx, mode="fill", fill_value=0), _IMAX)
+    r2 = jnp.take(rank, uidx + k, mode="fill", fill_value=-1)
+    r1s, r2s, uidx_s = lax.sort((r1, r2, uidx), num_keys=2, is_stable=True)
+    pos = jnp.arange(m, dtype=jnp.int32)
+    h1 = jnp.concatenate([jnp.ones(1, dtype=jnp.bool_),
+                          r1s[1:] != r1s[:-1]])
+    h12 = h1 | jnp.concatenate([jnp.ones(1, dtype=jnp.bool_),
+                                r2s[1:] != r2s[:-1]])
+    s1 = lax.cummax(jnp.where(h1, pos, -1))
+    s12 = lax.cummax(jnp.where(h12, pos, -1))
+    new_rank = r1s + (s12 - s1)
+    nxt_h12 = jnp.concatenate([h12[1:], jnp.ones(1, dtype=jnp.bool_)])
+    still = ~(h12 & nxt_h12) & (uidx_s < n)
+    rank = rank.at[uidx_s].set(new_rank, mode="drop")
+    uidx_new = jnp.where(still, uidx_s, n)
+    return rank, uidx_new, jnp.sum(still.astype(jnp.int32))
+
 
 @jax.jit
 def suffix_array(data: jax.Array):
     """Suffix array + ranks (ISA) of uint8[n] via prefix doubling; fully
-    traceable (vmap/shard_map-safe)."""
+    traceable (vmap/shard_map-safe).
+
+    Three phases, all compiled into one program: full rounds while the
+    unresolved count exceeds the big bucket, then bucketed rounds at n/4,
+    then at n/32.  Text-like data resolves almost everything by depth ~30,
+    so nearly all rounds run at bucket width instead of n."""
     n = data.shape[0]
     rank, mask = _bootstrap(data)
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    m1 = min(n, max(4096, n // 4))
+    m2 = min(n, max(4096, n // 32))
 
-    def round_body(state):
+    def body_full(state):
         rank, mask, k, _ = state
         rank, mask, cnt = _full_round(rank, k, n)
-        return rank, mask, k * 2, cnt == 0
+        return rank, mask, k * 2, cnt
 
-    def cond(state):
-        _, _, k, done = state
-        return (~done) & (k < 2 * n)
+    def cond_full(state):
+        _, _, k, cnt = state
+        return (cnt > m1) & (k < 2 * n)
+
+    rank, mask, k, cnt = lax.while_loop(
+        cond_full, body_full, (rank, mask, jnp.int32(_BOOT_DEPTH), cnt))
+
+    uidx = jnp.nonzero(mask, size=m1, fill_value=n)[0].astype(jnp.int32)
+
+    def body_bucket(state):
+        rank, uidx, k, _ = state
+        rank, uidx, cnt = _bucket_round_compact(rank, uidx, k, n)
+        return rank, uidx, k * 2, cnt
+
+    def cond_b1(state):
+        _, _, k, cnt = state
+        return (cnt > m2) & (k < 2 * n)
+
+    rank, uidx, k, cnt = lax.while_loop(
+        cond_b1, body_bucket, (rank, uidx, k, cnt))
+
+    sel = jnp.nonzero(uidx < n, size=m2, fill_value=m1)[0].astype(jnp.int32)
+    uidx2 = jnp.take(uidx, sel, mode="fill", fill_value=n)
+
+    def cond_b2(state):
+        _, _, k, cnt = state
+        return (cnt > 0) & (k < 2 * n)
 
     rank, _, _, _ = lax.while_loop(
-        cond, round_body,
-        (rank, mask, jnp.int32(16), jnp.sum(mask.astype(jnp.int32)) == 0))
+        cond_b2, body_bucket, (rank, uidx2, k, cnt))
     idx = jnp.arange(n, dtype=jnp.int32)
     _, sa = lax.sort((rank, idx), num_keys=1, is_stable=True)
     return sa, rank
@@ -225,7 +305,7 @@ def suffix_array_fast(data: jax.Array):
     ladder = _bucket_ladder(n)
     rank, mask, cnt = _bootstrap_counted(data)
     cnt = int(cnt)
-    k = 16
+    k = _BOOT_DEPTH
     while cnt > 0 and k < 2 * n:
         if cnt > n // 4:
             rank, mask, cnt_d = _full_round_counted(rank, jnp.int32(k))
