@@ -309,9 +309,12 @@ int st_encode(u8* T, int n, int k, int /*num_threads*/) {
 // Inverse
 // ---------------------------------------------------------------------------
 
-// Mark order-(k-1) context-group starts in P (any nonzero bit = start).
+// Mark order-(k-1) context-group starts in M (any nonzero bit = start).
+// M is a dedicated byte array: each refinement round reads one sequential
+// byte stream and scatter-ORs one byte, a third of the traffic of marking
+// inside the 4-byte link array (and P needs no zero-fill pass at all).
 // Returns failBack = some char count >= 2^23 (packed-link layouts overflow).
-static bool unst_mark_groups(const u8* T, u32* P, u32* count, int n, int k) {
+static bool unst_mark_groups(const u8* T, u8* M, u32* count, int n, int k) {
   u32* bucket = new u32[65536]();
   u32 index[256];
   i32 group[256];
@@ -342,7 +345,7 @@ static bool unst_mark_groups(const u8* T, u32* P, u32* count, int n, int k) {
   if (k == 3) {
     u32 sum = 0;
     for (int w = 0; w < 65536; ++w) {
-      if (bucket[w] > 0) { P[sum] = 1; sum += bucket[w]; }
+      if (bucket[w] > 0) { M[sum] = 1; sum += bucket[w]; }
     }
     delete[] bucket;
     return fail_back;
@@ -357,23 +360,30 @@ static bool unst_mark_groups(const u8* T, u32* P, u32* count, int n, int k) {
       u32 end = sum + bucket[w];
       for (u32 i = sum; i < end; ++i) {
         u8 c = T[i];
-        if (group[c] != w) { group[c] = w; P[index[c]] = 0x80000000u; }
+        if (group[c] != w) { group[c] = w; M[index[c]] = 1; }
         ++index[c];
       }
       sum = end;
     }
   }
 
-  // refine to order-(k-1)
-  u32 mask0 = 0x80000000u, mask1 = 0x40000000u;
-  for (int round = 4; round < k; ++round, mask0 >>= 1, mask1 >>= 1) {
+  // refine to order-(k-1); every round re-marks all coarser starts (starts
+  // are monotone under refinement), so round r only tests round r-1's bit
+  // and the final round's bit alone identifies every order-(k-1) start.
+  // branchless rounds: group starts are dense at orders 4+ (both the
+  // "new group" and "first occurrence in group" tests flip constantly on
+  // real data), so conditional moves + an unconditional scatter-OR beat
+  // the branchy form.
+  u8 mask0 = 1, mask1 = 2;
+  for (int round = 4; round < k; ++round, mask0 <<= 1, mask1 <<= 1) {
     std::memcpy(index, count, sizeof index);
     std::memset(group, 0xff, sizeof group);
     for (i32 g = 0, i = 0; i < n; ++i) {
-      if (P[i] & mask0) g = i;
+      g = (M[i] & mask0) ? i : g;
       u8 c = T[i];
-      if (group[c] != g) { group[c] = g; P[index[c]] += mask1; }
-      ++index[c];
+      u8 fresh = (group[c] != g) ? mask1 : 0;
+      group[c] = g;
+      M[index[c]++] |= fresh;
     }
   }
 
@@ -397,8 +407,8 @@ static bool unst_mark_groups(const u8* T, u32* P, u32* count, int n, int k) {
 // a tie costs one near access instead of a second far P read + dirty line.
 // This replaces the reference's leader-countdown-in-place walk
 // (st.cpp:1100-1130) with a different data layout; outputs are identical.
-static i32 unst_annotate_dense(const u8* T, u32* P, const u32* count, int n,
-                               u32* cnt) {
+static i32 unst_annotate_dense(const u8* T, const u8* M, u32* P,
+                               const u32* count, int n, u32* cnt) {
   u32 index[256];
   i32 group[256];
   std::memcpy(index, count, sizeof index);
@@ -406,7 +416,7 @@ static i32 unst_annotate_dense(const u8* T, u32* P, const u32* count, int n,
 
   i32 ngid = 0;
   for (i32 g = 0, i = 0; i < n; ++i) {
-    if (P[i] > 0) g = i;
+    if (M[i]) g = i;
     u8 c = T[i];
     if (group[c] < g) {
       group[c] = i;
@@ -429,14 +439,14 @@ static i32 unst_annotate_dense(const u8* T, u32* P, const u32* count, int n,
   return ngid;
 }
 
-static void unst_annotate_relative(const u8* T, u32* P, int n) {
+static void unst_annotate_relative(const u8* T, const u8* M, u32* P, int n) {
   u32 index[256];
   i32 group[256];
   std::memset(index, 0, sizeof index);
   std::memset(group, 0xff, sizeof group);
 
   for (i32 g = 0, i = 0; i < n; ++i) {
-    if (P[i] > 0) g = i;
+    if (M[i]) g = i;
     u8 c = T[i];
     if (group[c] < g) {
       group[c] = i;
@@ -449,14 +459,15 @@ static void unst_annotate_relative(const u8* T, u32* P, int n) {
   }
 }
 
-static void unst_annotate_search(const u8* T, u32* P, const u32* count, int n) {
+static void unst_annotate_search(const u8* T, const u8* M, u32* P,
+                                 const u32* count, int n) {
   u32 index[256];
   i32 group[256];
   std::memcpy(index, count, sizeof index);
   std::memset(group, 0xff, sizeof group);
 
   for (i32 g = 0, i = 0; i < n; ++i) {
-    if (P[i] > 0) g = i;
+    if (M[i]) g = i;
     u8 c = T[i];
     if (group[c] < g) {
       group[c] = i;
@@ -533,20 +544,21 @@ static int unst_prepare(UnstWalk& w, u8* T, int n, int k, int index) {
   w.T = T;
   w.n = n;
   w.P = (u32*)halloc((size_t)n * sizeof(u32));
-  if (!w.P) return -2;
-  std::memset(w.P, 0, (size_t)n * sizeof(u32));
-  bool fail_back = unst_mark_groups(T, w.P, w.count, n, k);
+  u8* M = (u8*)halloc((size_t)n);
+  if (!w.P || !M) { hfree(M); return -2; }
+  std::memset(M, 0, (size_t)n);
+  bool fail_back = unst_mark_groups(T, M, w.count, n, k);
   if (n < 0x800000) {
     w.layout = 0;
     w.cnt = (u32*)halloc(((size_t)n / 2 + 1) * sizeof(u32));
-    if (!w.cnt) return -2;
-    unst_annotate_dense(T, w.P, w.count, n, w.cnt);
+    if (!w.cnt) { hfree(M); return -2; }
+    unst_annotate_dense(T, M, w.P, w.count, n, w.cnt);
   } else if (!fail_back) {
     w.layout = 1;
-    unst_annotate_relative(T, w.P, n);
+    unst_annotate_relative(T, M, w.P, n);
   } else {
     w.layout = 2;
-    unst_annotate_search(T, w.P, w.count, n);
+    unst_annotate_search(T, M, w.P, w.count, n);
     w.shift = 0;
     while (((n - 1) >> w.shift) >= (1 << kFastBits)) ++w.shift;
     int v = 0;
@@ -557,6 +569,7 @@ static int unst_prepare(UnstWalk& w, u8* T, int n, int k, int index) {
           w.fastbits[v] = (u8)c;
     }
   }
+  hfree(M);
   // first step: the search layout peels the T[0] output specially
   if (w.layout == 2) {
     int p = index;
