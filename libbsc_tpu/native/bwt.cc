@@ -844,9 +844,8 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
   u32* cur2 = new (std::nothrow) u32[65536];
   constexpr int FASTBITS = 17;
   uint16_t* fastbits = new (std::nothrow) uint16_t[(size_t)1 << FASTBITS];
-  u8* out = new (std::nothrow) u8[(size_t)n];
-  if (!P2 || !bend || !cur2 || !fastbits || !out) {
-    hfree(P2); delete[] bend; delete[] cur2; delete[] fastbits; delete[] out;
+  if (!P2 || !bend || !cur2 || !fastbits) {
+    hfree(P2); delete[] bend; delete[] cur2; delete[] fastbits;
     return -2;
   }
 
@@ -948,7 +947,7 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
   if (K + 1 > 256) {
     ck_heap = new (std::nothrow) i32[(size_t)K + 1];
     if (!ck_heap) {
-      hfree(P2); delete[] bend; delete[] cur2; delete[] fastbits; delete[] out;
+      hfree(P2); delete[] bend; delete[] cur2; delete[] fastbits;
       return -2;
     }
     ck = ck_heap;
@@ -962,10 +961,14 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
     return w;
   };
 
+  // T is dead once P2 is built (the chase reads only P2/bend/fastbits), so
+  // the chains decode straight into T — no separate output buffer, no final
+  // copy pass.  Only T[0] (= U[n-1], the odd-tail byte) must be saved.
+  const u8 lastc = T[0];
   const i32 half = r >> 1;       // r is a power of two >= 256 here
   const i32 lhalf = l >> 1;
   for (i32 i = 0; i < half; ++i) {
-    u8* op = out + 2 * (size_t)i;
+    u8* op = T + 2 * (size_t)i;
     for (int t = 0; t < K; ++t, op += r) {
       i32 k = ck[t];
       u32 w = bigram_of(k);
@@ -974,7 +977,6 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
       k = P2[k];
       ck[t] = k;
       __builtin_prefetch(&P2[k]);
-      __builtin_prefetch(&bend[fastbits[(u32)k >> shift]]);
     }
     if (i < lhalf) {
       i32 k = ck[K];
@@ -984,19 +986,16 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
       k = P2[k];
       ck[K] = k;
       __builtin_prefetch(&P2[k]);
-      __builtin_prefetch(&bend[fastbits[(u32)k >> shift]]);
     }
   }
   // odd last-chain length: the final byte is text position n-1 = U[0]
-  if (l & 1) out[n - 1] = T[0];
+  if (l & 1) T[n - 1] = lastc;
 
-  std::memcpy(T, out, (size_t)n);
   delete[] ck_heap;
   hfree(P2);
   delete[] bend;
   delete[] cur2;
   delete[] fastbits;
-  delete[] out;
   return 0;
 }
 
