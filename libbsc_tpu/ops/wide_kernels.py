@@ -26,6 +26,7 @@ is bit-identical to native/wide.cc.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -435,25 +436,49 @@ def device_encode(data: bytes, interpret: bool = False):
     else:
         sizes = None
 
-    # native prep: per-lane PACKED bit stream (2-bit fields, 4 per byte —
-    # the kernel derives contexts itself, so only ~n*9/8 bits cross H2D)
-    cap = 9 * (16 * chunk) + 64  # worst-case bits per lane (balanced cap 16x)
-    cap4 = -(-cap // 4)
-    pk = np.zeros((LANES, cap4), dtype=np.uint8)
-    max_bits = lib.tbsc_wide_schedule_packed(_u8p(buf), n, LANES, cap4,
-                                             _u8p(pk), sizes_p)
-    if max_bits < 0:
-        return None
-
     TI = 256
+    sizes_tab = sizes if sizes is not None else np.asarray(
+        W.lane_sizes(n, LANES), np.int32)
+
+    # schedule prep: per-lane PACKED bit stream (2-bit fields, 4 per byte —
+    # the kernel derives contexts itself).  Default: computed ON DEVICE
+    # from the raw bytes (ops/wide_schedule.py — the host does only the
+    # lane balancing pass and framing); TBSC_WIDE_HOST_SCHED=1 or any
+    # device-path failure falls back to the native walker.
+    planes_dev = None
+    max_bits = -1
+    if not os.environ.get("TBSC_WIDE_HOST_SCHED"):
+        try:
+            from . import wide_schedule
+
+            pk_dev, max_bits = wide_schedule.device_schedule(
+                jnp.asarray(buf), sizes_tab, LANES,
+                it_bucket=lambda mb: _it_bucket(max(mb, TI), TI))
+            IT = _it_bucket(max(max_bits, TI), TI)
+            planes_dev = jnp.transpose(
+                pk_dev[:, : IT // 4].reshape(GROUPS, 128, IT // 4),
+                (2, 0, 1))
+        except Exception:
+            planes_dev = None
+            max_bits = -1
+    if planes_dev is None:
+        cap = 17 * (16 * chunk) + 64  # worst-case bits/lane (balanced 16x)
+        cap4 = -(-cap // 4)
+        pk = np.zeros((LANES, cap4), dtype=np.uint8)
+        max_bits = lib.tbsc_wide_schedule_packed(_u8p(buf), n, LANES, cap4,
+                                                 _u8p(pk), sizes_p)
+        if max_bits < 0:
+            return None
+        IT = _it_bucket(max(max_bits, TI), TI)
+        planes_dev = jnp.asarray(np.ascontiguousarray(
+            pk[:, : IT // 4].reshape(GROUPS, 128, IT // 4)
+            .transpose(2, 0, 1)))
+
     IT = _it_bucket(max(max_bits, TI), TI)
     MAXROWS = -(-((IT * 8) + 2048) // 1024) * 8  # per-group unit bound, tiles
 
-    packed = np.ascontiguousarray(
-        pk[:, : IT // 4].reshape(GROUPS, 128, IT // 4).transpose(2, 0, 1))
-
     units_d, counts_d, flow_d = _coder_call(TI, IT, MAXROWS, interpret)(
-        jnp.asarray(packed))
+        planes_dev)
     counts = np.asarray(counts_d)[:, 0]
     used_rows = int(-(-int(counts.max()) // 128)) + 8
     units = np.asarray(units_d[:, :used_rows])  # slim the D2H transfer

@@ -29,6 +29,39 @@ def test_wide_random_incompressible(rng):
     assert wide.wide_encode_ref(d, n_lanes=8) is None
 
 
+@pytest.mark.parametrize("kind,n,lanes", [
+    ("text", 65536, 16), ("random", 65536, 16), ("runs", 65536, 16),
+    ("text", 300_000, 64), ("periodic", 2048, 16)])
+def test_wide_device_schedule_parity(rng, kind, n, lanes):
+    """The on-device schedule builder (ops/wide_schedule.py — vectorized
+    MTF ranks + closed-form bit expansion) must reproduce the native
+    walker's packed iteration planes bit for bit, balanced lane table
+    included."""
+    from libbsc_tpu import engine
+    from libbsc_tpu.native import _i32p, _u8p
+    from libbsc_tpu.ops.wide_schedule import device_schedule
+
+    api.init()
+    lib = engine._lib()
+    if lib is None:
+        pytest.skip("native runtime unavailable")
+    data = np.frombuffer(make_corpus(rng, n, kind), np.uint8).copy()
+    sizes = np.zeros(lanes, np.int32)
+    if lib.tbsc_wide_balanced_sizes(_u8p(data), n, lanes, _i32p(sizes)) != 0:
+        sizes = np.asarray(wide.lane_sizes(n, lanes), np.int32)
+    cap4 = -(-(17 * int(sizes.max()) + 64) // 4)
+    pk = np.zeros((lanes, cap4), np.uint8)
+    mb = lib.tbsc_wide_schedule_packed(_u8p(data), n, lanes, cap4, _u8p(pk),
+                                       _i32p(sizes))
+    assert mb >= 0
+    packed_d, mb_d = device_schedule(data, sizes, lanes)
+    assert mb_d == mb
+    pd = np.asarray(packed_d)
+    m = min(pd.shape[1], pk.shape[1])
+    assert np.array_equal(pd[:, :m], pk[:, :m])
+    assert not pd[:, m:].any() and not pk[:, m:].any()
+
+
 def test_wide_lane_count_policy():
     assert wide.pick_lanes(1 << 24) == wide.DEFAULT_LANES
     assert wide.pick_lanes(8192) <= 2
