@@ -162,6 +162,32 @@ def measure_default_vs_reference(data: bytes):
     return ours, ref
 
 
+_dev_probe_cache = None
+
+
+def device_available(timeout: float = 150.0) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout: when the
+    remote tunnel is half-dead, an in-process jax.devices() can hang
+    forever (observed on this harness), which must never take the headline
+    host numbers down with it."""
+    global _dev_probe_cache
+    if _dev_probe_cache is not None:
+        return _dev_probe_cache
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; sys.exit(0 if any(d.platform != 'cpu' "
+             "for d in jax.devices()) else 1)"],
+            timeout=timeout, capture_output=True)
+        _dev_probe_cache = r.returncode == 0
+    except Exception:
+        _dev_probe_cache = False
+    return _dev_probe_cache
+
+
 def measure_farm(data: bytes):
     """Accelerated operating point: device ST8 + heterogeneous block farm."""
     import queue
@@ -169,6 +195,8 @@ def measure_farm(data: bytes):
     import libbsc_tpu as B
     from libbsc_tpu import constants as C, engine
 
+    if not device_available():
+        return None
     try:
         import jax
 
@@ -264,6 +292,8 @@ def measure_wide(data: bytes):
 
     import numpy as _np
 
+    if not device_available():
+        return None
     try:
         import jax
 
