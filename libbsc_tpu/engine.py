@@ -182,7 +182,14 @@ def bwt_encode(data: np.ndarray, features: int):
         try:
             import jax.numpy as jnp
 
-            from .ops.bwt import bwt_encode as _dev_bwt
+            # TBSC_BWT=dc3 selects the difference-cover sample-doubling
+            # sort (libcubwt's algorithm family); default is the direct
+            # prefix-doubling path — see bench.py's device_bwt detail for
+            # the measured comparison.
+            if os.environ.get("TBSC_BWT", "").lower() == "dc3":
+                from .ops.bwt import bwt_encode_dc3 as _dev_bwt
+            else:
+                from .ops.bwt import bwt_encode as _dev_bwt
 
             U, primary, aux = _dev_bwt(jnp.asarray(data))
             # Materialize EVERY device result into host temporaries before

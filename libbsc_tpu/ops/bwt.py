@@ -318,6 +318,229 @@ def suffix_array_fast(data: jax.Array):
 
 
 # ---------------------------------------------------------------------------
+# Difference-cover (DC3) suffix sort: doubling over the 2n/3 sample
+# ---------------------------------------------------------------------------
+#
+# The reference GPU BWT reduces the doubling to a difference-cover sample
+# before iterating (libcubwt.cu:644-738 builds the reduced arrays, :1875-2030
+# merges the classes back).  TPU formulation:
+#
+# - sample = text positions p with p % 3 != 0, linearized INTERLEAVED:
+#   reduced slot j = 2t+b  <->  text p = 3t+b+1 (b in {0,1}).  Stepping an
+#   EVEN k in reduced coordinates advances exactly 1.5k text chars for every
+#   slot, so the existing doubling rounds apply verbatim with n -> m: the
+#   bootstrap resolves 15 text chars, and each round with reduced step k
+#   extends a depth-D order to D + 1.5k (k chosen so 1.5k == D, i.e. the
+#   reduced step starts at 10 and doubles).  Real slots are a contiguous
+#   prefix [0, m) of the padded 2*ceil(n/3) grid, so `j + k < m` is exactly
+#   the `position + depth < n` validity test the shared rounds use.
+# - merge (libcubwt's dual comparator, made sortable): with rank_S total on
+#   the sample, (T[p], rank_S(p+1)) is an exact suffix comparator on C u S1
+#   and (T[p]T[p+1], rank_S(p+2)) on C u S2 (C = p%3==0 classes; every
+#   lookup lands in the sample).  Two 2-key sorts + exclusive cumsums give
+#   each suffix its global rank:
+#     rank(c in C)  = idx1(c) + (idx2(c) - C_before2(c))   [C+S1 before + S2]
+#     rank(s in S1) = rank_S(s) + C_before1(s)
+#     rank(s in S2) = rank_S(s) + C_before2(s)
+#   Values return to position order with one 1-key sort per merge (no
+#   scatter), and class columns reassemble into text order by the same
+#   [n3, 3] reshape that extracted them.
+# - positions past the end rank as n-1-p (strictly decreasing negatives), so
+#   a shorter suffix that is a prefix of a longer one sorts first — the same
+#   convention as the bootstrap's remaining-length tiebreak.
+
+
+def _dc3_sample_rank(data: jax.Array, n3: int, m: int):
+    """Rank the 2n/3 sample suffixes by prefix doubling over the reduced
+    interleaved array; returns all-distinct group-start ranks, slot order."""
+    n = data.shape[0]
+    L = 3 * n3
+    dpad = jnp.pad(data, (0, L - n))
+    idx = jnp.arange(L, dtype=jnp.int32)
+    d32 = dpad.astype(jnp.uint32)
+
+    def pbyte(j: int) -> jax.Array:
+        return jnp.where(idx + j < n, jnp.roll(d32, -j), 0)
+
+    def red(a: jax.Array) -> jax.Array:
+        return a.reshape(n3, 3)[:, 1:].reshape(2 * n3)[:m]
+
+    words = []
+    for w in range(3):
+        acc = jnp.zeros(L, dtype=jnp.uint32)
+        for j in range(4):
+            acc = (acc << 8) | pbyte(4 * w + j)
+        words.append(red(acc))
+    rem = jnp.minimum(n - idx, _BOOT_DEPTH).astype(jnp.uint32)
+    w3 = (((pbyte(12) << 8 | pbyte(13)) << 8 | pbyte(14)) << 8) | rem
+    words.append(red(w3))
+
+    ridx = jnp.arange(m, dtype=jnp.int32)
+    sorted_all = lax.sort(tuple(words) + (ridx,), num_keys=4, is_stable=True)
+    pos_s = sorted_all[-1]
+    heads = jnp.zeros(m, dtype=jnp.bool_).at[0].set(True)
+    for col in sorted_all[:-1]:
+        heads = heads | jnp.concatenate(
+            [jnp.ones(1, dtype=jnp.bool_), col[1:] != col[:-1]])
+    rank, mask = _rank_mask_to_position_order(heads, pos_s, m)
+
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    m1 = min(m, max(4096, m // 4))
+    m2 = min(m, max(4096, m // 32))
+
+    def body_full(state):
+        rank, mask, k, _ = state
+        rank, mask, cnt = _full_round(rank, k, m)
+        return rank, mask, k * 2, cnt
+
+    def cond_full(state):
+        _, _, k, cnt = state
+        return (cnt > m1) & (k < 2 * m)
+
+    rank, mask, k, cnt = lax.while_loop(
+        cond_full, body_full, (rank, mask, jnp.int32(10), cnt))
+
+    uidx = jnp.nonzero(mask, size=m1, fill_value=m)[0].astype(jnp.int32)
+
+    def body_bucket(state):
+        rank, uidx, k, _ = state
+        rank, uidx, cnt = _bucket_round_compact(rank, uidx, k, m)
+        return rank, uidx, k * 2, cnt
+
+    def cond_b1(state):
+        _, _, k, cnt = state
+        return (cnt > m2) & (k < 2 * m)
+
+    rank, uidx, k, cnt = lax.while_loop(
+        cond_b1, body_bucket, (rank, uidx, k, cnt))
+
+    sel = jnp.nonzero(uidx < m, size=m2, fill_value=m1)[0].astype(jnp.int32)
+    uidx2 = jnp.take(uidx, sel, mode="fill", fill_value=m)
+
+    def cond_b2(state):
+        _, _, k, cnt = state
+        return (cnt > 0) & (k < 2 * m)
+
+    rank, _, _, _ = lax.while_loop(
+        cond_b2, body_bucket, (rank, uidx2, k, cnt))
+    return rank
+
+
+def _merge_class_sort(k_char, k_rank, pay, own):
+    """One merge side: sort C u S_b by its exact-comparator key.  Returns
+    the sorted payload positions, their sorted index, the C-class mask, the
+    exclusive count of C elements before each slot, and the sample ranks
+    carried through the sort."""
+    N = k_char.shape[0]
+    _, _, pay_s, own_s = lax.sort(
+        (k_char, k_rank, pay, own), num_keys=2, is_stable=True)
+    i = jnp.arange(N, dtype=jnp.int32)
+    is_c = (pay_s % 3) == 0
+    c_exc = jnp.cumsum(is_c.astype(jnp.int32)) - is_c.astype(jnp.int32)
+    return pay_s, i, is_c, c_exc, own_s
+
+
+@jax.jit
+def _dc3_rank_jit(data: jax.Array):
+    """Position-ordered all-distinct suffix ranks of uint8[n] via DC3."""
+    n = data.shape[0]
+    n3 = (n + 2) // 3
+    m = n - n3
+    L = 3 * n3
+
+    rank_red = _dc3_sample_rank(data, n3, m)
+
+    # sample ranks back to text coordinates (reshape, no scatter), with
+    # past-the-end positions ranking n-1-p (strictly decreasing negatives)
+    rr_pad = jnp.concatenate(
+        [rank_red, jnp.zeros(2 * n3 - m, dtype=jnp.int32)])
+    cols = rr_pad.reshape(n3, 2)
+    rs_L = jnp.stack(
+        [jnp.zeros(n3, dtype=jnp.int32), cols[:, 0], cols[:, 1]],
+        axis=1).reshape(L)
+    posL = jnp.arange(L + 2, dtype=jnp.int32)
+    rs_full = jnp.where(posL < n,
+                        jnp.concatenate([rs_L, jnp.zeros(2, jnp.int32)]),
+                        n - 1 - posL)
+
+    dpadL = jnp.concatenate(
+        [data, jnp.zeros(L + 2 - n, dtype=jnp.uint8)])
+    dmat = dpadL[:L].reshape(n3, 3).astype(jnp.int32)
+    rsmat = rs_full[:L].reshape(n3, 3)
+
+    n_c = n3                      # positions 3t < n for every t < n3
+    m_s1 = (n + 1) // 3           # positions 3t+1 < n
+    m_s2 = m - m_s1               # positions 3t+2 < n
+
+    # --- sort 1: C u S1 by (T[p], rank_S(p+1)) ---
+    k1_char = jnp.concatenate([dmat[:, 0], dmat[:m_s1, 1]])
+    k1_rank = jnp.concatenate([rsmat[:, 1], rsmat[:m_s1, 2]])
+    pay1 = jnp.concatenate([
+        3 * jnp.arange(n_c, dtype=jnp.int32),
+        3 * jnp.arange(m_s1, dtype=jnp.int32) + 1])
+    own1 = jnp.concatenate([
+        jnp.zeros(n_c, dtype=jnp.int32), rsmat[:m_s1, 1]])
+    pay_s, i1, is_c1, c_exc1, own_s1 = _merge_class_sort(
+        k1_char, k1_rank, pay1, own1)
+    v1 = jnp.where(is_c1, i1, own_s1 + c_exc1)
+    _, v1_bypos = lax.sort((pay_s, v1), num_keys=1, is_stable=True)
+    pad1 = 2 * n3 - v1_bypos.shape[0]
+    grid1 = jnp.concatenate(
+        [v1_bypos, jnp.zeros(pad1, dtype=jnp.int32)]).reshape(n3, 2)
+
+    # --- sort 2: C u S2 by (T[p]T[p+1], rank_S(p+2)) ---
+    t_next = dpadL[3::3][:n3].astype(jnp.int32)     # T[3(t+1)]
+    rs_next1 = rs_full[4::3][:n3]                   # rank_S(3t+4)
+    k2_char = jnp.concatenate([
+        (dmat[:, 0] << 8) | dmat[:, 1],
+        (dmat[:m_s2, 2] << 8) | t_next[:m_s2]])
+    k2_rank = jnp.concatenate([rsmat[:, 2], rs_next1[:m_s2]])
+    pay2 = jnp.concatenate([
+        3 * jnp.arange(n_c, dtype=jnp.int32),
+        3 * jnp.arange(m_s2, dtype=jnp.int32) + 2])
+    own2 = jnp.concatenate([
+        jnp.zeros(n_c, dtype=jnp.int32), rsmat[:m_s2, 2]])
+    pay_s2, i2, is_c2, c_exc2, own_s2 = _merge_class_sort(
+        k2_char, k2_rank, pay2, own2)
+    v2 = jnp.where(is_c2, i2 - c_exc2, own_s2 + c_exc2)
+    _, v2_bypos = lax.sort((pay_s2, v2), num_keys=1, is_stable=True)
+    pad2 = 2 * n3 - v2_bypos.shape[0]
+    grid2 = jnp.concatenate(
+        [v2_bypos, jnp.zeros(pad2, dtype=jnp.int32)]).reshape(n3, 2)
+
+    # assembly: C ranks add the two sides' contributions; S ranks are final
+    c_rank = grid1[:, 0] + grid2[:, 0]
+    rank_text = jnp.stack(
+        [c_rank, grid1[:, 1], grid2[:, 1]], axis=1).reshape(L)[:n]
+    return rank_text
+
+
+def suffix_array_dc3(data: jax.Array):
+    """Suffix array + ranks via the difference-cover doubling path."""
+    n = int(data.shape[0])
+    if n < 64:
+        return suffix_array(data)
+    rank = _dc3_rank_jit(data)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, sa = lax.sort((rank, idx), num_keys=1, is_stable=True)
+    return sa, rank
+
+
+def bwt_encode_dc3(data: jax.Array):
+    """Forward BWT via the DC3 sample-doubling suffix sort."""
+    n = int(data.shape[0])
+    if n < 64:
+        return bwt_encode(data)
+    return _bwt_encode_dc3_jit(data)
+
+
+@jax.jit
+def _bwt_encode_dc3_jit(data: jax.Array):
+    rank = _dc3_rank_jit(data)
+    return _extract_bwt(data, rank)
+
+
+# ---------------------------------------------------------------------------
 # BWT wrappers
 # ---------------------------------------------------------------------------
 

@@ -92,6 +92,25 @@ def test_bwt_decode_native_stream(rng):
 
 
 @pytest.mark.parametrize("kind", ["text", "random", "runs", "zeros", "periodic"])
+@pytest.mark.parametrize("n", [63, 64, 65, 66, 255, 4096, 65537, 1 << 20])
+def test_bwt_encode_dc3_matches_native(rng, n, kind):
+    """Difference-cover (DC3) suffix sort — doubling over the 2n/3 sample +
+    two-sort class merge — must agree with the native BWT bit-for-bit.
+    Sizes cover every n mod 3 residue (the class-grid padding cases)."""
+    from libbsc_tpu.ops.bwt import bwt_encode_dc3
+
+    d = np.frombuffer(make_corpus(rng, n, kind), dtype=np.uint8)
+    U, primary, aux = bwt_encode_dc3(jnp.asarray(d))
+    ref = d.copy()
+    ref_primary, ref_ni, ref_idx = engine.bwt_encode(ref, 0)
+    assert int(primary) == ref_primary
+    assert np.array_equal(np.asarray(U), ref)
+    assert aux.shape[0] == ref_ni
+    if ref_ni:
+        assert np.array_equal(np.asarray(aux), ref_idx[:ref_ni])
+
+
+@pytest.mark.parametrize("kind", ["text", "random", "runs", "zeros", "periodic"])
 @pytest.mark.parametrize("n", [1, 2, 255, 4096, 65537, 1 << 20])
 def test_bwt_encode_fast_matches_native(rng, n, kind):
     """Host-driven segmented prefix doubling (bucketed unresolved re-sort)
