@@ -284,6 +284,79 @@ def measure_farm(data: bytes):
 _BENCH_T0 = 0.0
 
 
+def measure_farm_bwt(data: bytes):
+    """BWT farm operating point: device workers sort blocks on-chip (the
+    TBSC_BWT_DEVICE opt-in route) while the host core runs the entropy
+    coder; decode is the batched host unbwt wavefront (~71 MB/s) instead of
+    the ST8 serial inverse walk that capped the ST farm's decode.  LZP is
+    disabled so every full block shares ONE XLA program (the device BWT is
+    compiled per exact shape, unlike the shape-bucketed padded ST op)."""
+    import queue
+
+    import libbsc_tpu as B
+    from libbsc_tpu import constants as C
+
+    if not device_available():
+        return None
+    try:
+        import jax
+
+        if not any(d.platform != "cpu" for d in jax.devices()):
+            return None
+    except Exception:
+        return None
+
+    n = len(data)
+    features = C.DEFAULT_FEATURES
+    blocks = [data[i:i + FARM_BLOCK] for i in range(0, n, FARM_BLOCK)]
+    kw = dict(block_sorter=C.BLOCKSORTER_BWT, coder=C.CODER_QLFC_FAST,
+              lzp_hash_size=0, lzp_min_len=0)
+    dev = features | C.FEATURE_CUDA
+
+    os.environ["TBSC_BWT_DEVICE"] = "1"
+    try:
+        # warm every distinct block shape's program outside the clock
+        for m in sorted({len(b) for b in blocks}):
+            if _BENCH_T0 and time.time() - _BENCH_T0 > 2400:
+                return None
+            B.compress(data[:m], features=dev, **kw)
+
+        jobs: "queue.Queue" = queue.Queue()
+        payloads: dict = {}
+
+        def worker(feat: int):
+            while True:
+                try:
+                    i, blk = jobs.get_nowait()
+                except queue.Empty:
+                    return
+                payloads[i] = B.compress(blk, features=feat, **kw)
+
+        feats = [dev, dev, dev, features] if len(blocks) > 1 else [dev]
+        enc_dt = float("inf")
+        for _ in range(3):
+            payloads.clear()
+            for i, blk in enumerate(blocks):
+                jobs.put((i, blk))
+            t0 = time.time()
+            with ThreadPoolExecutor(max_workers=len(feats)) as ex:
+                list(ex.map(worker, feats))
+            enc_dt = min(enc_dt, time.time() - t0)
+        ordered = [payloads[i] for i in range(len(blocks))]
+    finally:
+        os.environ.pop("TBSC_BWT_DEVICE", None)
+
+    dec_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        restored = b"".join(B.decompress_batch(ordered))
+        dec_dt = min(dec_dt, time.time() - t0)
+    assert restored == data, "BWT farm round-trip mismatch"
+    return {"enc_mbs": round(n / 1e6 / enc_dt, 2),
+            "dec_mbs": round(n / 1e6 / dec_dt, 2),
+            "bytes": sum(len(p) for p in ordered)}
+
+
 def measure_device_bwt(data: bytes):
     """Forward device BWT on-chip, both variants: direct prefix doubling
     (ops.bwt.bwt_encode) vs the DC3 difference-cover sample doubling
@@ -477,6 +550,7 @@ def main() -> None:
     farm = measure_farm(data)
     wide_res = measure_wide(data)
     devbwt = measure_device_bwt(data)
+    farm_bwt = measure_farm_bwt(data)
 
     detail = {
         "corpus_mb": CORPUS_MB,
@@ -496,6 +570,8 @@ def main() -> None:
         detail["wide_coder_onchip"] = wide_res
     if devbwt:
         detail["device_bwt_onchip"] = devbwt
+    if farm_bwt:
+        detail["farm_bwt_tpu"] = farm_bwt
 
     print(json.dumps({
         "metric": "default_config_encode_e2e",

@@ -176,9 +176,18 @@ def lzp_decompress(data: np.ndarray, hash_size: int, min_len: int, features: int
 def bwt_encode(data: np.ndarray, features: int):
     """In-place-style BWT; returns (index, num_indexes, indexes)."""
     n = len(data)
-    if _force in ("tpu", "ops") and n >= _DEVICE_MIN_BLOCK and _device_sort(features | C.FEATURE_CUDA):
+    # Device-route policy: TBSC_ENGINE=tpu|ops forces it; otherwise the
+    # FEATURE_CUDA bit requests it (the reference's -G routes BWT to the
+    # GPU too, bwt.cpp:178-181) but only when TBSC_BWT_DEVICE=1 opts in,
+    # because on ONE chip the device sort loses to host SA-IS — the farm
+    # bench uses the opt-in to offload sorting while the host core codes.
+    _dev_route = (
+        (_force in ("tpu", "ops") and _device_sort(features | C.FEATURE_CUDA))
+        or (os.environ.get("TBSC_BWT_DEVICE") == "1" and _device_sort(features))
+    )
+    if _dev_route and n >= _DEVICE_MIN_BLOCK:
         # experimental full-device route (prefix-doubling suffix sort);
-        # correct but sort-round bound — opt-in via TBSC_ENGINE=tpu only
+        # correct but sort-round bound — opt-in only (see above)
         try:
             import jax.numpy as jnp
 
