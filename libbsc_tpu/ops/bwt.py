@@ -139,6 +139,32 @@ def _full_round(rank: jax.Array, k: jax.Array, n: int):
     return rank, mask, jnp.sum(mask.astype(jnp.int32))
 
 
+def _full_round4(rank: jax.Array, k: jax.Array, n: int):
+    """One QUADRUPLING round over all n elements: sort the 4-tuple
+    (r(i), r(i+k), r(i+2k), r(i+3k)), which extends a depth-D order (k
+    covering D) to depth 4D — two doubling rounds' progress for ~40% more
+    sort cost (keys are ~linear in `lax.sort`, rounds are log).  Sound for
+    the same reason doubling is: equal rank prefixes imply the suffixes
+    genuinely share that many chars (the bootstrap's remaining-length
+    tiebreak keeps short suffixes in singleton groups), and the -1 fill
+    orders a shorter suffix before any continuation."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def at(off):
+        return jnp.where(idx + off < n, jnp.roll(rank, -off), -1)
+
+    r2, r3, r4 = at(k), at(2 * k), at(3 * k)
+    r1s, r2s, r3s, r4s, pos_s = lax.sort(
+        (rank, r2, r3, r4, idx), num_keys=4, is_stable=True)
+    one = jnp.ones(1, dtype=jnp.bool_)
+    heads = jnp.concatenate([one, (r1s[1:] != r1s[:-1])
+                             | (r2s[1:] != r2s[:-1])
+                             | (r3s[1:] != r3s[:-1])
+                             | (r4s[1:] != r4s[:-1])])
+    rank, mask = _rank_mask_to_position_order(heads, pos_s, n)
+    return rank, mask, jnp.sum(mask.astype(jnp.int32))
+
+
 # ---------------------------------------------------------------------------
 # traceable variant (usable under vmap/shard_map): full rounds, then bucketed
 # rounds over a compacted active set — all inside while_loops (no host syncs)
@@ -177,6 +203,36 @@ def _bucket_round_compact(rank: jax.Array, uidx: jax.Array, k: jax.Array,
     return rank, uidx_new, jnp.sum(still.astype(jnp.int32))
 
 
+def _bucket_round_compact4(rank: jax.Array, uidx: jax.Array, k: jax.Array,
+                           n: int):
+    """Quadrupling variant of `_bucket_round_compact`: refine each
+    unresolved group by the (r@k, r@2k, r@3k) continuation tuple in one
+    sort, advancing the covered depth 4x per round (see `_full_round4`)."""
+    m = uidx.shape[0]
+    valid = uidx < n
+    r1 = jnp.where(valid,
+                   jnp.take(rank, uidx, mode="fill", fill_value=0), _IMAX)
+    r2 = jnp.take(rank, uidx + k, mode="fill", fill_value=-1)
+    r3 = jnp.take(rank, uidx + 2 * k, mode="fill", fill_value=-1)
+    r4 = jnp.take(rank, uidx + 3 * k, mode="fill", fill_value=-1)
+    r1s, r2s, r3s, r4s, uidx_s = lax.sort(
+        (r1, r2, r3, r4, uidx), num_keys=4, is_stable=True)
+    pos = jnp.arange(m, dtype=jnp.int32)
+    one = jnp.ones(1, dtype=jnp.bool_)
+    h1 = jnp.concatenate([one, r1s[1:] != r1s[:-1]])
+    hall = h1 | jnp.concatenate([one, (r2s[1:] != r2s[:-1])
+                                 | (r3s[1:] != r3s[:-1])
+                                 | (r4s[1:] != r4s[:-1])])
+    s1 = lax.cummax(jnp.where(h1, pos, -1))
+    sall = lax.cummax(jnp.where(hall, pos, -1))
+    new_rank = r1s + (sall - s1)
+    nxt_hall = jnp.concatenate([hall[1:], one])
+    still = ~(hall & nxt_hall) & (uidx_s < n)
+    rank = rank.at[uidx_s].set(new_rank, mode="drop")
+    uidx_new = jnp.where(still, uidx_s, n)
+    return rank, uidx_new, jnp.sum(still.astype(jnp.int32))
+
+
 @jax.jit
 def suffix_array(data: jax.Array):
     """Suffix array + ranks (ISA) of uint8[n] via prefix doubling; fully
@@ -185,7 +241,9 @@ def suffix_array(data: jax.Array):
     Three phases, all compiled into one program: full rounds while the
     unresolved count exceeds the big bucket, then bucketed rounds at n/4,
     then at n/32.  Text-like data resolves almost everything by depth ~30,
-    so nearly all rounds run at bucket width instead of n."""
+    so nearly all rounds run at bucket width instead of n.  All rounds
+    QUADRUPLE the covered depth (4-tuple continuation keys): ~half the
+    rounds of plain doubling for ~40% more per-round sort cost."""
     n = data.shape[0]
     rank, mask = _bootstrap(data)
     cnt = jnp.sum(mask.astype(jnp.int32))
@@ -194,8 +252,8 @@ def suffix_array(data: jax.Array):
 
     def body_full(state):
         rank, mask, k, _ = state
-        rank, mask, cnt = _full_round(rank, k, n)
-        return rank, mask, k * 2, cnt
+        rank, mask, cnt = _full_round4(rank, k, n)
+        return rank, mask, k * 4, cnt
 
     def cond_full(state):
         _, _, k, cnt = state
@@ -208,8 +266,8 @@ def suffix_array(data: jax.Array):
 
     def body_bucket(state):
         rank, uidx, k, _ = state
-        rank, uidx, cnt = _bucket_round_compact(rank, uidx, k, n)
-        return rank, uidx, k * 2, cnt
+        rank, uidx, cnt = _bucket_round_compact4(rank, uidx, k, n)
+        return rank, uidx, k * 4, cnt
 
     def cond_b1(state):
         _, _, k, cnt = state
@@ -390,8 +448,8 @@ def _dc3_sample_rank(data: jax.Array, n3: int, m: int):
 
     def body_full(state):
         rank, mask, k, _ = state
-        rank, mask, cnt = _full_round(rank, k, m)
-        return rank, mask, k * 2, cnt
+        rank, mask, cnt = _full_round4(rank, k, m)
+        return rank, mask, k * 4, cnt
 
     def cond_full(state):
         _, _, k, cnt = state
@@ -404,8 +462,8 @@ def _dc3_sample_rank(data: jax.Array, n3: int, m: int):
 
     def body_bucket(state):
         rank, uidx, k, _ = state
-        rank, uidx, cnt = _bucket_round_compact(rank, uidx, k, m)
-        return rank, uidx, k * 2, cnt
+        rank, uidx, cnt = _bucket_round_compact4(rank, uidx, k, m)
+        return rank, uidx, k * 4, cnt
 
     def cond_b1(state):
         _, _, k, cnt = state
