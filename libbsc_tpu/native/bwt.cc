@@ -17,6 +17,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <ctime>
 #include <new>
 
 #include "halloc.h"
@@ -849,9 +852,28 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
     return -2;
   }
 
+  auto nowsec = []() -> double {
+    struct timespec ts; clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+  };
+  const bool prof = getenv("TBSC_UNBWT_PROF") != nullptr;
+  double tp0 = prof ? nowsec() : 0.0;
   i32 cnt[256];
-  std::memset(cnt, 0, sizeof cnt);
-  for (int u = 0; u < n; ++u) cnt[T[u]]++;
+  {
+    // 4-bank byte histogram: BWT output is run-heavy, and a single count
+    // array stalls on store-to-load forwarding for every repeated char
+    u32 h0[256], h1[256], h2[256], h3[256];
+    std::memset(h0, 0, sizeof h0); std::memset(h1, 0, sizeof h1);
+    std::memset(h2, 0, sizeof h2); std::memset(h3, 0, sizeof h3);
+    int u = 0;
+    for (; u + 4 <= n; u += 4) {
+      h0[T[u]]++; h1[T[u + 1]]++; h2[T[u + 2]]++; h3[T[u + 3]]++;
+    }
+    for (; u < n; ++u) h0[T[u]]++;
+    for (int c = 0; c < 256; ++c)
+      cnt[c] = (i32)(h0[c] + h1[c] + h2[c] + h3[c]);
+  }
+  if (prof) { fprintf(stderr, "[unbwt] histo %.3f\n", nowsec() - tp0); tp0 = nowsec(); }
   i32 rowlo[257];  // first row of each char bucket (rows 1..n)
   {
     i32 sum = 1;
@@ -873,22 +895,33 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
   // the length-1 suffix row R1 is never a q2 (it is LF(sentinel)) and
   // gets P2[R1] = index (its PSI is the sentinel, whose PSI is primary).
   {
-    i32 front[256];
-    std::memcpy(front, rowlo, sizeof front);
+    // Counting pass, gather-free: the pairs to count are exactly
+    // (T[v], first-char-of-row(v + (v >= index))) over v in [1, n) — the
+    // first char is constant across each char bucket's row range, so the
+    // bigram histogram decomposes into 256 slice histograms of T (the same
+    // shape as libsais_unbwt_compute_histogram over bucket slices,
+    // libsais.c:7040-7062), each 4-banked against run stalls.
     std::memset(bend, 0, 65536 * sizeof(u32));
-    constexpr int PF = 48;
-    for (int u = 0; u < n; ++u) {
-      if (u + PF < n) {
-        i32 fq = front[T[u + PF]];
-        __builtin_prefetch(&T[fq - (fq > index)]);
+    u32 h0[256], h1[256], h2[256], h3[256];
+    for (int b = 0; b < 256; ++b) {
+      const i32 rlo = rowlo[b], rhi = rowlo[b + 1];
+      i32 vlo = rlo - (rlo > index), vhi = rhi - (rhi > index);
+      if (vlo < 1) vlo = 1;
+      if (vhi <= vlo) continue;
+      std::memset(h0, 0, sizeof h0); std::memset(h1, 0, sizeof h1);
+      std::memset(h2, 0, sizeof h2); std::memset(h3, 0, sizeof h3);
+      i32 v = vlo;
+      for (; v + 4 <= vhi; v += 4) {
+        h0[T[v]]++; h1[T[v + 1]]++; h2[T[v + 2]]++; h3[T[v + 3]]++;
       }
-      const u8 c1 = T[u];
-      const i32 q = front[c1]++;
-      if (q == index) continue;
-      const i32 u2 = q - (q > index);
-      bend[((u32)T[u2] << 8) | c1]++;
+      for (; v < vhi; ++v) h0[T[v]]++;
+      for (int a = 0; a < 256; ++a) {
+        const u32 sme = h0[a] + h1[a] + h2[a] + h3[a];
+        if (sme) bend[((u32)a << 8) | (u32)b] += sme;
+      }
     }
   }
+  if (prof) { fprintf(stderr, "[unbwt] count %.3f\n", nowsec() - tp0); tp0 = nowsec(); }
   i32 R1;  // row of the length-1 suffix (pseudo slot)
   {
     // cumulative bucket ENDS over row space: row 0 (sentinel) first, the
@@ -921,6 +954,7 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
     }
     P2[R1] = index;
   }
+  if (prof) { fprintf(stderr, "[unbwt] build %.3f\n", nowsec() - tp0); tp0 = nowsec(); }
 
   // fastbits: high bits of a row number -> first bucket that can contain it
   int shift = 0;
@@ -961,6 +995,8 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
     return w;
   };
 
+  double t_chase0 = prof ? nowsec() : 0.0;
+  if (prof) fprintf(stderr, "[unbwt] fastbits+mid %.3f\n", t_chase0 - tp0);
   // T is dead once P2 is built (the chase reads only P2/bend/fastbits), so
   // the chains decode straight into T — no separate output buffer, no final
   // copy pass.  Only T[0] (= U[n-1], the odd-tail byte) must be saved.
@@ -991,6 +1027,7 @@ static int unbwt_bigram(u8* T, int n, int index, int num_indexes,
   // odd last-chain length: the final byte is text position n-1 = U[0]
   if (l & 1) T[n - 1] = lastc;
 
+  if (prof) fprintf(stderr, "[unbwt] chase %.3f\n", nowsec() - t_chase0);
   delete[] ck_heap;
   hfree(P2);
   delete[] bend;

@@ -146,6 +146,70 @@ def main():
     print(f"glue (e2e-stages) ours {timings['ours_e2e']-sum_o:.3f}s  "
           f"ref {timings['ref_e2e']-sum_r:.3f}s")
 
+    # ================= decode side =================
+    cz_arr = np.frombuffer(bytes(cz), np.uint8)
+
+    # ---- coder decode (qlfc static) -> BWT block ----
+    ref_cd_out = np.empty(m + 4096, np.uint8)
+    best_o = best_r = float("inf")
+    dz = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        dz = engine.coder_decompress(cz_arr, C.CODER_QLFC_STATIC, 0,
+                                     capacity=m)
+        best_o = min(best_o, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        r = o.o_coder_decompress(u8p(cz_arr), u8p(ref_cd_out), 1, 0)
+        best_r = min(best_r, time.perf_counter() - t0)
+        assert r == m
+    timings["ours_coderdec"], timings["ref_coderdec"] = best_o, best_r
+    assert bytes(dz[:m]) == bytes(ref_cd_out[:m]) == bytes(ours_bwt_buf)
+    report("coderdec", m)
+
+    # ---- inverse bwt (aux-index chains) -> pre-sort block ----
+    ni = int(num_idx)
+    idx_arr = np.asarray(indexes[:max(ni, 1)], np.int32)
+    ours_ub = np.array(ours_bwt_buf, copy=True)
+    ref_ub = np.array(ours_bwt_buf, copy=True)
+    best_o = best_r = float("inf")
+    for _ in range(reps):
+        np.copyto(ours_ub, ours_bwt_buf)
+        t0 = time.perf_counter()
+        rc = engine.bwt_decode(ours_ub, int(idx), ni, idx_arr, 0)
+        best_o = min(best_o, time.perf_counter() - t0)
+        assert rc >= 0
+        np.copyto(ref_ub, ours_bwt_buf)
+        t0 = time.perf_counter()
+        r = o.o_bwt_decode(u8p(ref_ub), m, int(idx), ni, i32p(idx_arr), 0)
+        best_r = min(best_r, time.perf_counter() - t0)
+        assert r >= 0
+    timings["ours_unbwt"], timings["ref_unbwt"] = best_o, best_r
+    assert bytes(ours_ub) == bytes(ref_ub) == bytes(lz)
+    report("unbwt", m)
+
+    # ---- e2e library decompress ----
+    ref_d_out = np.empty(n + 4096, np.uint8)
+    blob_arr = np.frombuffer(blob, np.uint8)
+    best_o = best_r = float("inf")
+    back = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        back = api.decompress(blob)
+        best_o = min(best_o, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        r = o.o_decompress(u8p(blob_arr), len(blob), u8p(ref_d_out), n, 0)
+        best_r = min(best_r, time.perf_counter() - t0)
+        assert r == 0
+    timings["ours_dec_e2e"], timings["ref_dec_e2e"] = best_o, best_r
+    assert bytes(back) == bytes(data) == bytes(ref_d_out[:n])
+    report("dec_e2e", n)
+
+    sum_o = timings["ours_coderdec"] + timings["ours_unbwt"]
+    sum_r = timings["ref_coderdec"] + timings["ref_unbwt"]
+    print(f"dec stage sum  ours {sum_o:.3f}s  ref {sum_r:.3f}s")
+    print(f"dec glue       ours {timings['ours_dec_e2e']-sum_o:.3f}s  "
+          f"ref {timings['ref_dec_e2e']-sum_r:.3f}s")
+
 
 if __name__ == "__main__":
     main()
