@@ -139,14 +139,23 @@ def compress(
         if saved <= 0:
             lzp_enabled = False
             mode &= 0xFF
+    # The transform working buffer comes from the per-thread pool: a fresh
+    # 16 MB mapping per call never gets THP-promoted and costs the BWT/coder
+    # ~10% in TLB misses on this host (the reference gets the same reuse
+    # from glibc's malloc chunk cache inside bsc_compress).
+    from .utils import bufpool
+
     if lzp_enabled:
         with stage("lzp_compress", n):
-            lz = engine.lzp_compress(buf, lzp_hash_size, lzp_min_len, features)
+            lz = engine.lzp_compress(buf, lzp_hash_size, lzp_min_len, features,
+                                     out=bufpool.get("compress_lz", n + 1024))
         if lz is None:
             mode &= 0xFF
-            lz = buf.copy()
+            lz = bufpool.get("compress_lz", n)
+            np.copyto(lz, buf)
     else:
-        lz = buf.copy()
+        lz = bufpool.get("compress_lz", n)
+        np.copyto(lz, buf)
 
     if len(lz) <= C.HEADER_SIZE:
         block_sorter = C.BLOCKSORTER_BWT
@@ -217,11 +226,17 @@ def compress(
     return header + payload
 
 
-def _decode_to_sorter(block: bytes, expected_size: int | None = None):
+def _decode_to_sorter(block: bytes, expected_size: int | None = None,
+                      scratch: bool = False):
     """Header/adler validation + entropy decode; stops before the sorter.
 
     Returns either the final bytes (stored blocks) or a dict with the
     entropy-decoded buffer and everything the sorter + postprocessing need.
+
+    `scratch=True` decodes into the per-thread buffer pool (utils/bufpool)
+    — valid ONLY for single-block decompress, where at most one decoded
+    buffer per thread is live; decompress_batch holds many at once and
+    must keep the default fresh allocations.
     """
     from . import engine
 
@@ -288,10 +303,15 @@ def _decode_to_sorter(block: bytes, expected_size: int | None = None):
                     wide.wide_decode(payload), dtype=np.uint8
                 ).copy()
     else:
+        out = None
+        if scratch:
+            from .utils import bufpool
+
+            out = bufpool.get("decompress_lz", h.data_size + 4096)
         with stage("coder_decompress", len(payload)):
             lz = engine.coder_decompress(
                 np.frombuffer(payload, dtype=np.uint8), coder, features,
-                capacity=h.data_size + 4096,
+                capacity=h.data_size + 4096, out=out,
             )
     if isinstance(lz, int):
         raise BscError(lz, _ERROR_NAMES.get(lz, str(lz)))
@@ -303,6 +323,7 @@ def _decode_to_sorter(block: bytes, expected_size: int | None = None):
         "h": h, "lz": lz, "sorter": block_sorter,
         "num_indexes": num_indexes, "indexes": indexes,
         "lzp_hash_size": lzp_hash_size, "lzp_min_len": lzp_min_len,
+        "scratch": scratch,
     }
 
 
@@ -312,10 +333,15 @@ def _finish_decode(st) -> bytes:
 
     h, lz = st["h"], st["lz"]
     if st["lzp_hash_size"] or st["lzp_min_len"]:
+        obuf = None
+        if st.get("scratch"):
+            from .utils import bufpool
+
+            obuf = bufpool.get("decompress_out", h.data_size + 4096)
         with stage("lzp_decompress", len(lz)):
             out = engine.lzp_decompress(
                 lz, st["lzp_hash_size"], st["lzp_min_len"], _features,
-                capacity=h.data_size + 4096)
+                capacity=h.data_size + 4096, out=obuf)
     else:
         out = lz
 
@@ -348,7 +374,7 @@ def _run_sorter(st) -> None:
 def decompress(block: bytes, expected_size: int | None = None) -> bytes:
     """bsc_decompress: decompress one block (header + payload)."""
     _ensure_init()
-    st = _decode_to_sorter(block, expected_size)
+    st = _decode_to_sorter(block, expected_size, scratch=True)
     if isinstance(st, bytes):
         return st
     _run_sorter(st)

@@ -131,13 +131,17 @@ def _as_c(arr: np.ndarray) -> np.ndarray:
 # LZP
 # ---------------------------------------------------------------------------
 
-def lzp_compress(data: np.ndarray, hash_size: int, min_len: int, features: int):
-    """Returns the LZP stream as ndarray, or None if not compressible."""
+def lzp_compress(data: np.ndarray, hash_size: int, min_len: int, features: int,
+                 out: np.ndarray | None = None):
+    """Returns the LZP stream as ndarray, or None if not compressible.
+    `out` (>= n+1024 bytes) lets the caller supply a reusable buffer —
+    fresh multi-MB mappings are expensive on this class of host."""
     n = len(data)
     lib = _lib()
     if lib is not None:
         inp = _as_c(data)
-        out = np.empty(n + 1024, dtype=np.uint8)
+        if out is None or len(out) < n + 1024:
+            out = np.empty(n + 1024, dtype=np.uint8)
         from .native import _u8p
 
         rc = lib.tbsc_lzp_compress(_u8p(inp), _u8p(out), n, hash_size, min_len,
@@ -151,12 +155,14 @@ def lzp_compress(data: np.ndarray, hash_size: int, min_len: int, features: int):
 
 
 def lzp_decompress(data: np.ndarray, hash_size: int, min_len: int, features: int,
-                   capacity: int | None = None):
+                   capacity: int | None = None,
+                   out: np.ndarray | None = None):
     lib = _lib()
     if lib is not None:
         inp = _as_c(data)
         cap = capacity if capacity is not None else len(data) * 4 + (1 << 20)
-        out = np.empty(int(cap), dtype=np.uint8)
+        if out is None or len(out) < int(cap):
+            out = np.empty(int(cap), dtype=np.uint8)
         from .native import _u8p
 
         rc = lib.tbsc_lzp_decompress(_u8p(inp), _u8p(out), len(inp), hash_size,
@@ -441,14 +447,16 @@ def coder_compress(data: np.ndarray, coder: int, features: int):
 
 
 def coder_decompress(data: np.ndarray, coder: int, features: int,
-                     capacity: int | None = None):
+                     capacity: int | None = None,
+                     out: np.ndarray | None = None):
     lib = _lib()
     if lib is not None:
         from .native import _u8p
 
         inp = _as_c(data)
         cap = capacity if capacity is not None else len(data) * 8 + (1 << 20)
-        out = np.empty(int(cap), dtype=np.uint8)
+        if out is None or len(out) < int(cap):
+            out = np.empty(int(cap), dtype=np.uint8)
         rc = lib.tbsc_coder_decompress(_u8p(inp), _u8p(out), coder, _num_threads)
         if rc < 0:
             return rc
