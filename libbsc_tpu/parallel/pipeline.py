@@ -150,20 +150,30 @@ def make_sharded_st_step(mesh: Mesh, k: int = 8, n_samples: int = 128,
          triples (hi, lo, gpos); the tiny [S*R] sample set is all-gathered,
          sorted, and quantiled.  Triples are all distinct (gpos breaks
          ties), so all-equal blocks split by position and stay balanced;
-      3. O(n) bucket partition (counting scatter, not a sort) and a
-         fixed-capacity `all_to_all` — capacity is n_local/S plus slack.
-         When key order correlates with position (degenerate case: an
-         all-equal block sorts to the identity, so one member owns an
-         entire destination range) a source can overflow its capacity;
-         that is detected and reported via `ok`, and the caller falls back
-         to the all-gather path (make_transform_step);
-      4. one local sort of the received range per member;
-      5. rebalance to exact [n_local] output shards by exchanging
+      3. randomized re-deal — a balanced `all_to_all` moves each element
+         to member hash(gpos) % S.  The hash is data-INDEPENDENT (a fixed
+         multiplicative hash of the global position), so after the deal
+         every member holds a pseudo-uniform sample of the whole block and
+         its share of any key bucket concentrates at n_local/S no matter
+         how key order correlates with position — the classic sample-sort
+         failure (an all-equal block sorts to the identity, one source
+         owning an entire destination range) cannot occur;
+      4. O(n) bucket partition (counting scatter, not a sort) and a
+         fixed-capacity `all_to_all` — per-pair capacity n_local/S plus
+         slack now bounds the true counts for every input; `ok` still
+         reports the (now data-independent, effectively impossible)
+         overflow case and the caller may fall back to the all-gather
+         path (make_transform_step);
+      5. one local sort of the received range per member;
+      6. rebalance to exact [n_local] output shards by exchanging
          fixed-size edge windows with both neighbors (`ppermute`) — the
          sampling bound keeps the true boundary within the slack window.
 
     Collectives: 2x ppermute (8 B + edge windows), one tiny all-gather,
-    one all_to_all of ~n_local * (1 + 1/slack) elements — all ICI-friendly.
+    two all_to_alls of ~n_local * (1 + 1/slack) elements — all ICI-friendly
+    (the sort itself is ~2.6 GB/s of tuple traffic at the chip's ~200
+    Mkeys/s budget, far under ICI bandwidth, so the extra deal pass costs
+    little and buys skew-proofness).
     Compute per member: O(n_local) partition + one sort of ~n_local keys,
     versus the all-gather path's full-block sort on every member.
 
@@ -214,44 +224,73 @@ def make_sharded_st_step(mesh: Mesh, k: int = 8, n_samples: int = 128,
         sp_gp = jnp.stack([s_gp[i] for i in q]) if q else \
             jnp.zeros(0, jnp.int32)
 
+        # --- randomized re-deal: decouple key order from source ownership.
+        # Destination = multiplicative hash of the GLOBAL position — a
+        # function of (gpos0, nl, S) only, never of the data, so the deal
+        # cell sizes are a fixed shape property and every member ends up
+        # holding a pseudo-uniform sample of the block. ---
+        PAD = jnp.uint32(0xFFFFFFFF)
+        GPAD = 0x7FFFFFFF
+        deal = (((gpos.astype(jnp.uint32) * jnp.uint32(2654435761)) >> 16)
+                % jnp.uint32(S)).astype(jnp.int32)
+        CAPD = nl // S + max(64, nl // (4 * S))
+        dcounts = jnp.bincount(deal, length=S)
+        rankd = jnp.zeros(nl, jnp.int32)
+        for s in range(S):
+            m = (deal == s).astype(jnp.int32)
+            rankd = jnp.where(m == 1, jnp.cumsum(m) - 1, rankd)
+        ok = jnp.max(dcounts) <= CAPD
+        slotd = deal * CAPD + jnp.minimum(rankd, CAPD - 1)
+
+        def a2a(x, cap):
+            return lax.all_to_all(x.reshape(S, cap), "sp", split_axis=0,
+                                  concat_axis=0, tiled=False).reshape(-1)
+
+        d_hi = a2a(jnp.full(S * CAPD, PAD).at[slotd].set(hi, mode="drop"),
+                   CAPD)
+        d_lo = a2a(jnp.full(S * CAPD, PAD).at[slotd].set(lo, mode="drop"),
+                   CAPD)
+        d_gp = a2a(jnp.full(S * CAPD, GPAD, dtype=jnp.int32)
+                   .at[slotd].set(gpos, mode="drop"), CAPD)
+        d_pv = a2a(jnp.zeros(S * CAPD, jnp.uint8).at[slotd].set(prev,
+                                                                mode="drop"),
+                   CAPD)
+        dvalid = d_gp != GPAD
+        nd = S * CAPD
+
         # bucket(i) = number of splitters <= (hi, lo, gpos)[i]
         def ge_splitter(t):
             a, b, c = sp_hi[t], sp_lo[t], sp_gp[t]
-            return ((hi > a) | ((hi == a) & ((lo > b) |
-                    ((lo == b) & (gpos >= c))))).astype(jnp.int32)
+            return ((d_hi > a) | ((d_hi == a) & ((d_lo > b) |
+                    ((d_lo == b) & (d_gp >= c))))).astype(jnp.int32)
 
-        bucket = jnp.zeros(nl, jnp.int32)
+        bucket = jnp.zeros(nd, jnp.int32)
         for t in range(S - 1):
             bucket = bucket + ge_splitter(t)
 
-        # --- O(n) partition into per-destination slots ---
+        # --- O(n) partition into per-destination slots (pads dropped) ---
         CAP = nl // S + nl // slack_frac
-        counts = jnp.bincount(bucket, length=S)
+        counts = jnp.bincount(jnp.where(dvalid, bucket, S), length=S + 1)[:S]
         # rank within own bucket: S cumsums of the membership masks
-        order_rank = jnp.zeros(nl, jnp.int32)
+        order_rank = jnp.zeros(nd, jnp.int32)
         for s in range(S):
-            m = (bucket == s).astype(jnp.int32)
+            m = ((bucket == s) & dvalid).astype(jnp.int32)
             order_rank = jnp.where(m == 1, jnp.cumsum(m) - 1, order_rank)
-        ok = jnp.max(counts) <= CAP
-        slot = bucket * CAP + jnp.minimum(order_rank, CAP - 1)
-
-        PAD = jnp.uint32(0xFFFFFFFF)
-        send_hi = jnp.full(S * CAP, PAD).at[slot].set(hi, mode="drop")
-        send_lo = jnp.full(S * CAP, PAD).at[slot].set(lo, mode="drop")
-        send_gp = jnp.full(S * CAP, 0x7FFFFFFF, dtype=jnp.int32) \
-            .at[slot].set(gpos, mode="drop")
-        send_pv = jnp.zeros(S * CAP, jnp.uint8).at[slot].set(prev,
-                                                             mode="drop")
+        ok = ok & (jnp.max(counts) <= CAP)
+        slot = jnp.where(dvalid,
+                         bucket * CAP + jnp.minimum(order_rank, CAP - 1),
+                         S * CAP)
 
         # --- exchange: member s receives every member's bucket-s segment ---
-        def a2a(x):
-            return lax.all_to_all(x.reshape(S, CAP), "sp", split_axis=0,
-                                  concat_axis=0, tiled=False).reshape(-1)
-
-        r_hi = a2a(send_hi)
-        r_lo = a2a(send_lo)
-        r_gp = a2a(send_gp)
-        r_pv = a2a(send_pv)
+        r_hi = a2a(jnp.full(S * CAP, PAD).at[slot].set(d_hi, mode="drop"),
+                   CAP)
+        r_lo = a2a(jnp.full(S * CAP, PAD).at[slot].set(d_lo, mode="drop"),
+                   CAP)
+        r_gp = a2a(jnp.full(S * CAP, GPAD, dtype=jnp.int32)
+                   .at[slot].set(d_gp, mode="drop"), CAP)
+        r_pv = a2a(jnp.zeros(S * CAP, jnp.uint8).at[slot].set(d_pv,
+                                                              mode="drop"),
+                   CAP)
 
         # --- local sort of the received range (pads sink to the tail) ---
         r_hi, r_lo, r_gp, r_pv = lax.sort((r_hi, r_lo, r_gp, r_pv),
