@@ -532,25 +532,62 @@ def measure_wide(data: bytes):
         return None
 
 
+def device_measures(data: bytes) -> dict:
+    """All accelerator-dependent measurements, each individually guarded —
+    one flaky section must not cost the others."""
+    out = {}
+    for key, fn in (("farm_st8_tpu", measure_farm),
+                    ("wide_coder_onchip", measure_wide),
+                    ("device_bwt_onchip", measure_device_bwt),
+                    ("farm_bwt_tpu", measure_farm_bwt)):
+        try:
+            res = fn(data)
+        except Exception:
+            res = None
+        if res:
+            out[key] = res
+    return out
+
+
+def device_detail_subprocess(budget_s: float) -> dict:
+    """Run the device measures in a CHILD process under a hard timeout: a
+    half-dead tunnel can hang a jax call forever mid-measure (observed on
+    this harness), and that must never take the headline JSON down."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-only"],
+            timeout=max(60.0, budget_s), capture_output=True, text=True,
+            env={**os.environ, "TBSC_BENCH_T0": str(_BENCH_T0)})
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        return json.loads(line) if line.startswith("{") else {}
+    except Exception:
+        return {}
+
+
 def main() -> None:
     global _BENCH_T0
+    import sys
     import time as _t
-    _BENCH_T0 = _t.time()
+    _BENCH_T0 = float(os.environ.get("TBSC_BENCH_T0", 0)) or _t.time()
     import libbsc_tpu as B
     from libbsc_tpu import constants as C
 
     data = make_corpus(CORPUS_MB * 1024 * 1024)
     B.init(C.DEFAULT_FEATURES)
 
+    if "--device-only" in sys.argv:
+        print(json.dumps(device_measures(data)))
+        return
+
     default, ref = measure_default_vs_reference(data)
     base_enc = ref["enc_mbs"] if ref else PIN_ENC
     base_dec = ref["dec_mbs"] if ref else PIN_DEC
     base_bytes = ref["bytes"] if ref else PIN_BYTES
 
-    farm = measure_farm(data)
-    wide_res = measure_wide(data)
-    devbwt = measure_device_bwt(data)
-    farm_bwt = measure_farm_bwt(data)
+    dev_detail = device_detail_subprocess(3300 - (_t.time() - _BENCH_T0))
 
     detail = {
         "corpus_mb": CORPUS_MB,
@@ -564,14 +601,7 @@ def main() -> None:
         "baseline_dec_mbs": base_dec,
         "baseline_bytes": base_bytes,
     }
-    if farm:
-        detail["farm_st8_tpu"] = farm
-    if wide_res:
-        detail["wide_coder_onchip"] = wide_res
-    if devbwt:
-        detail["device_bwt_onchip"] = devbwt
-    if farm_bwt:
-        detail["farm_bwt_tpu"] = farm_bwt
+    detail.update(dev_detail)
 
     print(json.dumps({
         "metric": "default_config_encode_e2e",
