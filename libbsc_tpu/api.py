@@ -201,7 +201,9 @@ def compress(
                 payload = wide.wide_encode(bytes(lz.tobytes()))
     else:
         with stage("coder_compress", len(lz)):
-            payload = engine.coder_compress(lz, coder, features)
+            payload = engine.coder_compress(
+                lz, coder, features,
+                out=bufpool.get("compress_coder", len(lz) + 4096))
     tail_len = (5 if wideaux_r is not None else 1) + 4 * num_indexes
     if payload is None or len(payload) + tail_len >= n:
         return store(data)

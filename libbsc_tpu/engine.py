@@ -428,15 +428,19 @@ def st_decode_batch(arrays: list, k: int, indexes: list, features: int):
 # Entropy coder
 # ---------------------------------------------------------------------------
 
-def coder_compress(data: np.ndarray, coder: int, features: int):
-    """Returns coded ndarray or None if not compressible."""
+def coder_compress(data: np.ndarray, coder: int, features: int,
+                   out: np.ndarray | None = None):
+    """Returns coded ndarray or None if not compressible.  `out`
+    (>= n+4096 bytes) lets the caller supply a reusable buffer — fresh
+    multi-MB mappings are expensive on this class of host."""
     n = len(data)
     lib = _lib()
     if lib is not None:
         from .native import _u8p
 
         inp = _as_c(data)
-        out = np.empty(n + 4096, dtype=np.uint8)
+        if out is None or len(out) < n + 4096:
+            out = np.empty(n + 4096, dtype=np.uint8)
         rc = lib.tbsc_coder_compress(_u8p(inp), _u8p(out), n, coder, _num_threads)
         if rc < 0:
             return None

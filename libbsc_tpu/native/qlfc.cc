@@ -12,6 +12,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cstdio>
+#include <ctime>
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -675,9 +677,16 @@ static int cm_decode(const u8* input, u8* output, M1* m) {
 
 static int fast_encode(const u8* input, u8* output, u8* buffer, int isize, int osize, M2* m) {
   u8 mtf[256];
+#ifdef TBSC_QLFC_PROF
+  struct timespec ts0, ts1, ts2;
+  clock_gettime(CLOCK_MONOTONIC, &ts0);
+#endif
   std::memcpy(m, g_m2_pristine, sizeof(M2));
 
   int rank_off = rank_transform(input, buffer, isize, mtf);
+#ifdef TBSC_QLFC_PROF
+  clock_gettime(CLOCK_MONOTONIC, &ts1);
+#endif
 
   RcEncoder rc;
   rc.init(output, osize);
@@ -772,6 +781,12 @@ static int fast_encode(const u8* input, u8* output, u8* buffer, int isize, int o
     }
   }
 
+#ifdef TBSC_QLFC_PROF
+  clock_gettime(CLOCK_MONOTONIC, &ts2);
+  fprintf(stderr, "[fastenc] transform %.4f  loop %.4f\n",
+          (ts1.tv_sec - ts0.tv_sec) + 1e-9 * (ts1.tv_nsec - ts0.tv_nsec),
+          (ts2.tv_sec - ts1.tv_sec) + 1e-9 * (ts2.tv_nsec - ts1.tv_nsec));
+#endif
   return rc.finish();
 }
 

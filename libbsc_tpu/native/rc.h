@@ -43,9 +43,17 @@ class RcEncoder {
     range_ -= r;
   }
 
+  // Branchless: the mantissa bits this is called with are near-random
+  // (that is the point of entropy coding), so a branch on `bit` would
+  // mispredict ~50% of the time.  XOR-select between the two interval
+  // updates instead.
   template <int P = 12>
   inline void encode(uint32_t bit, int p) {
-    if (bit) encode1<P>(p); else encode0<P>(p);
+    if (range_ < 0x10000u) shift();
+    uint32_t r0 = (range_ >> P) * (uint32_t)p;
+    uint32_t m = (uint32_t)0 - (bit != 0);
+    low_ += (uint64_t)(r0 & m);
+    range_ = r0 ^ ((r0 ^ (range_ - r0)) & m);
   }
 
   inline void encode_direct(uint32_t bit) { encode<12>(bit, 2048); }
@@ -61,7 +69,10 @@ class RcEncoder {
   }
 
  private:
-  void shift() {
+  // Out-of-line: runs once per 16 output bits; keeping its body (carry
+  // resolution + pending-unit flush) out of the per-bit loop saves uop
+  // cache and lets the encode fast path stay branch-light.
+  __attribute__((noinline)) void shift() {
     uint32_t lo32 = (uint32_t)low_;
     uint32_t carry = (uint32_t)(low_ >> 32);
     if (lo32 < 0xffff0000u || carry) {
