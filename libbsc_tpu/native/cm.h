@@ -113,6 +113,19 @@ struct Mixer {
     learn(bit, lr0, lr1, lr2, th, ar);
     return m;
   }
+
+  // Branchless variant for data-dependent bits (mantissa/escape/flags):
+  // the fused upd() selects between the two counter updates with masks,
+  // arithmetically identical to the one-sided upd0/upd1 pair.
+  inline void learn_sel(uint32_t bit, int lr0, int lr1, int lr2,
+                        int th0, int ar0, int th1, int ar1) {
+    upd(bit, apm[idx], th0, ar0, th1, ar1);
+    upd(bit, apm[idx + 1], th0, ar0, th1, ar1);
+    const int eps = mixed - (bit ? 1 : 4095);
+    w0 -= (lr0 * eps * s0) >> 16;
+    w1 -= (lr1 * eps * s1) >> 16;
+    w2 -= (lr2 * eps * s2) >> 16;
+  }
 };
 
 inline int bsr(uint32_t x) { return 31 - __builtin_clz(x); }

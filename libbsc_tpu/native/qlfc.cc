@@ -397,6 +397,22 @@ static inline void group_learn_fused(const GP& g, u32 bit,
   upd(bit, p, g.p.th0, g.p.ar0, g.p.th1, g.p.ar1);
 }
 
+// Branchless learn for DATA-DEPENDENT bits (flags/mantissa/escape): those
+// bits are near-random, so the bit-dispatching branch in group_learn
+// mispredicts heavily.  The fused upd() + learn_sel path is mask-selected
+// and arithmetically identical to the one-sided pair (the reference
+// branches here; beating it means not copying that choice).
+template <bool ADAPTIVE>
+static inline void group_learn_data(const GP& g, Mixer* mx, u32 bit,
+                                    int16_t& s, int16_t& c, int16_t& p) {
+  upd(bit, s, g.s.th0, g.s.ar0, g.s.th1, g.s.ar1);
+  upd(bit, c, g.c.th0, g.c.ar0, g.c.th1, g.c.ar1);
+  upd(bit, p, g.p.th0, g.p.ar0, g.p.th1, g.p.ar1);
+  if (ADAPTIVE)
+    mx->learn_sel(bit, g.lr0, g.lr1, g.lr2,
+                  g.mx.th0, g.mx.ar0, g.mx.th1, g.mx.ar1);
+}
+
 template <bool ADAPTIVE>
 static int cm_encode(const u8* input, u8* output, u8* buffer, int isize, int osize, M1* m) {
   const Fam& F = ADAPTIVE ? kAdaptive : kStatic;
@@ -470,8 +486,7 @@ static int cm_encode(const u8* input, u8* output, u8* buffer, int isize, int osi
           for (int ctx = 1, bit = brs - 1; bit >= 0; --bit) {
             u32 b = (rank >> bit) & 1;
             int p = group_p<ADAPTIVE>(g, mx, m->rank_man_c[brs][c][ctx], m->rank_man_s[brs][st][ctx], m->rank_man_p[brs][ctx]);
-            if (ADAPTIVE) group_learn<ADAPTIVE>(g, mx, b, m->rank_man_s[brs][st][ctx], m->rank_man_c[brs][c][ctx], m->rank_man_p[brs][ctx]);
-            else group_learn_fused(g, b, m->rank_man_s[brs][st][ctx], m->rank_man_c[brs][c][ctx], m->rank_man_p[brs][ctx]);
+            group_learn_data<ADAPTIVE>(g, mx, b, m->rank_man_s[brs][st][ctx], m->rank_man_c[brs][c][ctx], m->rank_man_p[brs][ctx]);
             rc.encode(b, p);
             ctx += ctx + b;
           }
@@ -485,8 +500,7 @@ static int cm_encode(const u8* input, u8* output, u8* buffer, int isize, int osi
         Mixer* mx = &m->mix_rank_esc[ctx];
         u32 b = (rank >> bit) & 1;
         int p = group_p<ADAPTIVE>(g, mx, m->rank_esc_c[c][ctx], m->rank_esc_s[st][ctx], m->rank_esc_p[ctx]);
-        if (ADAPTIVE) group_learn<ADAPTIVE>(g, mx, b, m->rank_esc_s[st][ctx], m->rank_esc_c[c][ctx], m->rank_esc_p[ctx]);
-        else group_learn_fused(g, b, m->rank_esc_s[st][ctx], m->rank_esc_c[c][ctx], m->rank_esc_p[ctx]);
+        group_learn_data<ADAPTIVE>(g, mx, b, m->rank_esc_s[st][ctx], m->rank_esc_c[c][ctx], m->rank_esc_p[ctx]);
         rc.encode(b, p);
         ctx += ctx + b;
       }
@@ -532,8 +546,7 @@ static int cm_encode(const u8* input, u8* output, u8* buffer, int isize, int osi
         for (int ctx = 1, bit = brs - 1; bit >= 0; --bit) {
           u32 b = (run >> bit) & 1;
           int p = group_p<ADAPTIVE>(g, mx, m->run_man_c[brs][c][ctx], m->run_man_s[brs][st][ctx], m->run_man_p[brs][ctx]);
-          if (ADAPTIVE) group_learn<ADAPTIVE>(g, mx, b, m->run_man_s[brs][st][ctx], m->run_man_c[brs][c][ctx], m->run_man_p[brs][ctx]);
-          else group_learn_fused(g, b, m->run_man_s[brs][st][ctx], m->run_man_c[brs][c][ctx], m->run_man_p[brs][ctx]);
+          group_learn_data<ADAPTIVE>(g, mx, b, m->run_man_s[brs][st][ctx], m->run_man_c[brs][c][ctx], m->run_man_p[brs][ctx]);
           rc.encode(b, p);
           if (brs <= 5) ctx += ctx + b; else ctx += 1;
         }
@@ -595,8 +608,7 @@ static int cm_decode(const u8* input, u8* output, M1* m) {
         for (int bit_i = brs - 1; bit_i >= 0; --bit_i) {
           int pm = group_p<ADAPTIVE>(gm, mmx, m->rank_man_c[brs][c][rank], m->rank_man_s[brs][st][rank], m->rank_man_p[brs][rank]);
           u32 bm = (u32)rc.decode(pm);
-          if (ADAPTIVE) group_learn<ADAPTIVE>(gm, mmx, bm, m->rank_man_s[brs][st][rank], m->rank_man_c[brs][c][rank], m->rank_man_p[brs][rank]);
-          else group_learn_fused(gm, bm, m->rank_man_s[brs][st][rank], m->rank_man_c[brs][c][rank], m->rank_man_p[brs][rank]);
+          group_learn_data<ADAPTIVE>(gm, mmx, bm, m->rank_man_s[brs][st][rank], m->rank_man_c[brs][c][rank], m->rank_man_p[brs][rank]);
           rank += rank + bm;
         }
       } else {
@@ -609,8 +621,7 @@ static int cm_decode(const u8* input, u8* output, M1* m) {
         Mixer* mx = &m->mix_rank_esc[ctx];
         int p = group_p<ADAPTIVE>(g, mx, m->rank_esc_c[c][ctx], m->rank_esc_s[st][ctx], m->rank_esc_p[ctx]);
         u32 b = (u32)rc.decode(p);
-        if (ADAPTIVE) group_learn<ADAPTIVE>(g, mx, b, m->rank_esc_s[st][ctx], m->rank_esc_c[c][ctx], m->rank_esc_p[ctx]);
-        else group_learn_fused(g, b, m->rank_esc_s[st][ctx], m->rank_esc_c[c][ctx], m->rank_esc_p[ctx]);
+        group_learn_data<ADAPTIVE>(g, mx, b, m->rank_esc_s[st][ctx], m->rank_esc_c[c][ctx], m->rank_esc_p[ctx]);
         ctx += ctx + b;
         rank += rank + b;
       }
@@ -650,8 +661,7 @@ static int cm_decode(const u8* input, u8* output, M1* m) {
         for (int ctx = 1, bit_i = brs - 1; bit_i >= 0; --bit_i) {
           int pm = group_p<ADAPTIVE>(gm, mmx, m->run_man_c[brs][c][ctx], m->run_man_s[brs][st][ctx], m->run_man_p[brs][ctx]);
           u32 bm = (u32)rc.decode(pm);
-          if (ADAPTIVE) group_learn<ADAPTIVE>(gm, mmx, bm, m->run_man_s[brs][st][ctx], m->run_man_c[brs][c][ctx], m->run_man_p[brs][ctx]);
-          else group_learn_fused(gm, bm, m->run_man_s[brs][st][ctx], m->run_man_c[brs][c][ctx], m->run_man_p[brs][ctx]);
+          group_learn_data<ADAPTIVE>(gm, mmx, bm, m->run_man_s[brs][st][ctx], m->run_man_c[brs][c][ctx], m->run_man_p[brs][ctx]);
           run += run + bm;
           if (brs <= 5) ctx += ctx + bm; else ctx += 1;
         }
