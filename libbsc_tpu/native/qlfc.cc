@@ -31,6 +31,15 @@ constexpr int TBSC_NOT_COMPRESSIBLE = -3;
 // Advance past a run of byte c starting at `in` (exclusive of the first
 // byte, already consumed): 8-byte XOR probes, byte-exact landing.
 static inline const u8* skip_run(const u8* in, const u8* in_end, u8 c) {
+#if defined(__AVX2__)
+  const __m256i pat32 = _mm256_set1_epi8((char)c);
+  while (in + 32 <= in_end) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)in);
+    u32 m = (u32)_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, pat32));
+    if (m != 0xffffffffu) return in + __builtin_ctz(~m);
+    in += 32;
+  }
+#endif
   const uint64_t pat = 0x0101010101010101ull * c;
   while (in + 8 <= in_end) {
     uint64_t x;
