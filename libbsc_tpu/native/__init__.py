@@ -70,7 +70,7 @@ def load():
         _sig(lib.tbsc_st_encode, c_int, [u8p, c_int, c_int, c_int])
         _sig(lib.tbsc_st_decode, c_int, [u8p, c_int, c_int, c_int, c_int])
         _sig(lib.tbsc_wide_encode, c_int,
-             [u8p, ctypes.c_int64, u8p, ctypes.c_int64, c_int, i32p])
+             [u8p, ctypes.c_int64, u8p, ctypes.c_int64, c_int, i32p, c_int])
         _sig(lib.tbsc_wide_balanced_sizes, c_int,
              [u8p, ctypes.c_int64, c_int, i32p])
         _sig(lib.tbsc_wide_decode, c_int,

@@ -24,7 +24,7 @@ int st_encode(uint8_t*, int, int, int);
 uint32_t adler32(const uint8_t*, int64_t, uint32_t);
 int st_decode(uint8_t*, int, int, int, int);
 int st_decode_batch(uint8_t**, const int32_t*, int, const int32_t*, int);
-int wide_encode(const uint8_t*, int64_t, uint8_t*, int64_t, int, const int32_t*);
+int wide_encode(const uint8_t*, int64_t, uint8_t*, int64_t, int, const int32_t*, int);
 int wide_set_priors(const int16_t*);
 int wide_balanced_sizes(const uint8_t*, int64_t, int, int32_t*);
 int wide_decode(const uint8_t*, int64_t, uint8_t*, int64_t);
@@ -103,8 +103,9 @@ int tbsc_wide_set_priors(const int16_t* p) {
 }
 
 int tbsc_wide_encode(const uint8_t* in, int64_t n, uint8_t* out,
-                     int64_t out_cap, int n_lanes, const int32_t* sizes) {
-  return tbsc::wide_encode(in, n, out, out_cap, n_lanes, sizes);
+                     int64_t out_cap, int n_lanes, const int32_t* sizes,
+                     int rans) {
+  return tbsc::wide_encode(in, n, out, out_cap, n_lanes, sizes, rans);
 }
 
 int tbsc_wide_balanced_sizes(const uint8_t* in, int64_t n, int n_lanes,

@@ -7,6 +7,7 @@
 // realized by per-lane position queues.  This is the fast host fallback for
 // the wide profile (the numpy reference in ops/wide.py is the format spec).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <new>
@@ -222,9 +223,13 @@ using i64 = int64_t;
 // encode
 // -------------------------------------------------------------------------
 
+static int wide_encode_rans(const u8* input, i64 n, u8* output, i64 out_cap,
+                            int n_lanes, const int32_t* sizes);
+
 int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
-                int n_lanes, const int32_t* sizes) {
+                int n_lanes, const int32_t* sizes, int rans) {
   using namespace wide;
+  if (rans) return wide_encode_rans(input, n, output, out_cap, n_lanes, sizes);
   if (!g_priors_set) return -9;
   if (n <= 0) return -3;
   const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
@@ -322,6 +327,122 @@ int wide_encode(const u8* input, i64 n, u8* output, i64 out_cap,
     for (int k : events[g]) put16(q[k][next[k]++]);
     for (int k = k0; k < k1; ++k)
       if ((size_t)next[k] != q[k].size()) return -9;  // internal error
+  }
+  return (int)(w - output);
+}
+
+// -------------------------------------------------------------------------
+// v3 encode (flags bit 2): binary rANS lanes.  Forward pass per lane
+// records (prob, bit) for every scheduled bit; a reverse pass runs the
+// rANS arithmetic (state in [2^16, 2^32), one u16 emitted per renorm, no
+// interval clamping — the v2 coder's ~2.5% overhead); the final state is
+// the decoder's two warm-up units, replacing the flush.  The decoder's
+// refill at (iteration, lane) mirrors the encoder's emission at the same
+// (iteration, lane), so the stream assembles in the same consumption
+// order as v2 via a counting sort over refill iterations.
+// -------------------------------------------------------------------------
+
+static int wide_encode_rans(const u8* input, i64 n, u8* output, i64 out_cap,
+                            int n_lanes, const int32_t* sizes) {
+  using namespace wide;
+  if (!g_priors_set) return -9;
+  if (n <= 0) return -3;
+  const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
+  const i64 chunk = (n + L - 1) / L;
+  const int NG = (L + GROUP - 1) / GROUP;
+
+  std::vector<std::vector<u16>> q(L);    // per-lane units, consumption order
+  std::vector<std::vector<u32>> qit(L);  // matching refill iterations (asc)
+  std::vector<u32> warm(L, 0);
+  std::vector<i64> lsz(L);
+  std::vector<u16> pb;  // (prob << 1) | bit scratch, one lane at a time
+
+  i64 off = 0, iters = 0;
+  for (int k = 0; k < L; ++k) {
+    Lane ln;
+    ln.init_model();
+    i64 s = sizes ? (i64)sizes[k] : (chunk < n - off ? chunk : n - off);
+    lsz[k] = s;
+    ln.in = input + off;
+    ln.in_end = input + off + s;
+    off += s;
+    pb.clear();
+    if (s > 0 && next_run_encode(ln)) {
+      while (ln.phase != PH_DONE) {
+        int ctx = ctx_of(ln);
+        int bit = next_bit_encode(ln);
+        int p = ln.probs[ctx];
+        ln.probs[ctx] = (u16)upd(p, bit);
+        pb.push_back((u16)((p << 1) | bit));
+      }
+    }
+    const i64 nb = (i64)pb.size();
+    if (nb > iters) iters = nb;
+    if (nb == 0) continue;
+    // reverse rANS pass; emissions collected in reverse order
+    u32 x = 1u << 16;
+    std::vector<u16>& units = q[k];
+    std::vector<u32>& its = qit[k];
+    for (i64 i = nb - 1; i >= 0; --i) {
+      u32 p = pb[i] >> 1;
+      u32 f = (pb[i] & 1) ? 4096u - p : p;
+      u32 base = (pb[i] & 1) ? p : 0;
+      if (x >= (f << 20)) {
+        units.push_back((u16)(x & 0xFFFFu));
+        its.push_back((u32)i);
+        x >>= 16;
+      }
+      x = ((x / f) << 12) + (x % f) + base;
+    }
+    warm[k] = x;
+    // consumption order is ascending iteration = reverse of emission
+    std::reverse(units.begin(), units.end());
+    std::reverse(its.begin(), its.end());
+  }
+  if (off != n) return -8;
+
+  i64 total_units = 0;
+  for (int k = 0; k < L; ++k) total_units += (i64)q[k].size() + (lsz[k] ? 2 : 0);
+  i64 need = 12 + 4 * (i64)NG + (sizes ? 4 * (i64)L : 0) + 2 * total_units;
+  if (need >= n || need > out_cap) return -3;
+
+  u8* w = output;
+  auto put32 = [&](u32 v) { std::memcpy(w, &v, 4); w += 4; };
+  auto put16 = [&](u16 v) { std::memcpy(w, &v, 2); w += 2; };
+  put32((u32)n);
+  put16((u16)L);
+  put16((u16)((sizes ? 1 : 0) | 2 | 4));  // bit 1 = model v2, bit 2 = rANS
+  put32((u32)iters);
+  if (sizes)
+    for (int k = 0; k < L; ++k) put32((u32)lsz[k]);
+  for (int g = 0; g < NG; ++g) {
+    i64 units = 0;
+    int k0 = g * GROUP, k1 = (g + 1) * GROUP < L ? (g + 1) * GROUP : L;
+    for (int k = k0; k < k1; ++k) units += (i64)q[k].size() + (lsz[k] ? 2 : 0);
+    put32((u32)units);
+  }
+  std::vector<u32> cnt;
+  for (int g = 0; g < NG; ++g) {
+    int k0 = g * GROUP, k1 = (g + 1) * GROUP < L ? (g + 1) * GROUP : L;
+    for (int k = k0; k < k1; ++k)
+      if (lsz[k]) { put16((u16)(warm[k] >> 16)); put16((u16)warm[k]); }
+    // counting sort of the group's units by refill iteration (stable in k)
+    cnt.assign((size_t)iters + 1, 0);
+    for (int k = k0; k < k1; ++k)
+      for (u32 it : qit[k]) ++cnt[it];
+    u32 pos = 0;
+    for (i64 i = 0; i <= iters; ++i) { u32 c = cnt[i]; cnt[i] = pos; pos += c; }
+    u16* base16 = (u16*)w;
+    for (int k = k0; k < k1; ++k) {
+      const std::vector<u16>& units = q[k];
+      const std::vector<u32>& its = qit[k];
+      for (size_t j = 0; j < units.size(); ++j) {
+        u16 v = units[j];
+        std::memcpy(base16 + cnt[its[j]], &v, 2);
+        ++cnt[its[j]];
+      }
+    }
+    w += 2 * (i64)pos;
   }
   return (int)(w - output);
 }
@@ -575,6 +696,7 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
   // payload + 8: u32 max_bits (used by lockstep decoders; ignored here)
   const int L = L16;
   if (!(flags & 2)) return -6;  // pre-v2 payloads are not decodable
+  const bool rans = (flags & 4) != 0;  // v3: binary rANS lanes
   if (L == 0 || (i64)isize > out_cap) return -5;
   const i64 n = (i64)isize;
   const i64 chunk = (n + L - 1) / L;
@@ -652,21 +774,33 @@ int wide_decode(const u8* payload, i64 psize, u8* output, i64 out_cap) {
       if (ln.phase == PH_DONE) continue;
       int ctx = ctx_of(ln);
       int p = ln.probs[ctx];
-      u32 r = (ln.rng >> 12) * (u32)p;
-      int bit = (u32)(ln.code - ln.low) >= r;
-      if (bit) { ln.low += r; ln.rng -= r; }
-      else ln.rng = r;
-      ln.probs[ctx] = (u16)upd(p, bit);
-      if (ln.rng < (1u << 16)) {
-        if (((ln.low ^ (ln.low + ln.rng - 1)) >> 16) != 0) {
-          u32 lo_part = 0x10000u - (ln.low & 0xFFFFu);
-          u32 hi_part = ln.rng - lo_part;
-          if (hi_part > lo_part) { ln.low += lo_part; ln.rng = hi_part; }
-          else ln.rng = lo_part;
+      int bit;
+      if (rans) {
+        u32 x = ln.code;
+        u32 slot = x & 0xFFFu;
+        u32 hi = x >> 12;
+        if (slot < (u32)p) { bit = 0; x = (u32)p * hi + slot; }
+        else { bit = 1; x = (4096u - (u32)p) * hi + slot - (u32)p; }
+        ln.code = x;
+        ln.probs[ctx] = (u16)upd(p, bit);
+        if (x < (1u << 16)) refills.push_back(k);
+      } else {
+        u32 r = (ln.rng >> 12) * (u32)p;
+        bit = (u32)(ln.code - ln.low) >= r;
+        if (bit) { ln.low += r; ln.rng -= r; }
+        else ln.rng = r;
+        ln.probs[ctx] = (u16)upd(p, bit);
+        if (ln.rng < (1u << 16)) {
+          if (((ln.low ^ (ln.low + ln.rng - 1)) >> 16) != 0) {
+            u32 lo_part = 0x10000u - (ln.low & 0xFFFFu);
+            u32 hi_part = ln.rng - lo_part;
+            if (hi_part > lo_part) { ln.low += lo_part; ln.rng = hi_part; }
+            else ln.rng = lo_part;
+          }
+          ln.low <<= 16;
+          ln.rng <<= 16;
+          refills.push_back(k);
         }
-        ln.low <<= 16;
-        ln.rng <<= 16;
-        refills.push_back(k);
       }
 
       // state machine (mirror of the encoder's schedule)

@@ -84,6 +84,7 @@ RM_OFF = (0, 0, 0, 1, 4, 11, 26, 41, 56)  # indexed by brs, brs in [2, 8]
 
 _FLAG_EXPLICIT_SIZES = 1
 _FLAG_MODEL_V2 = 2
+_FLAG_RANS = 4  # v3 coder: binary rANS lanes (no clamp loss, no flush units)
 
 _priors_cache = None
 
@@ -235,6 +236,63 @@ class _RcDec:
         self.code = ((self.code << 16) | unit) & 0xFFFFFFFF
 
 
+class _RansEnc:
+    """Binary rANS lane (v3 coder).  Encoding runs in REVERSE bit order;
+    `emits` collects units in emission order (= reverse of the decoder's
+    consumption order for this lane).  State x is kept normalized in
+    [2^16, 2^32); exactly 0 or 1 unit is emitted per bit, and the final
+    state is the decoder's two warm-up units — no flush units and no
+    interval clamping, which is the v2 coder's ~2.5% ratio overhead."""
+
+    __slots__ = ("x", "emits")
+
+    def __init__(self):
+        self.x = 1 << 16
+        self.emits = []
+
+    def encode(self, bit: int, p: int) -> bool:
+        """p = P(bit=0) in 1..4095 (12-bit).  Returns True on emission."""
+        if bit:
+            f, base = (1 << P_BITS) - p, p
+        else:
+            f, base = p, 0
+        emitted = False
+        if self.x >= (f << 20):
+            self.emits.append(self.x & 0xFFFF)
+            self.x >>= 16
+            emitted = True
+        self.x = ((self.x // f) << P_BITS) + (self.x % f) + base
+        return emitted
+
+    def warm(self) -> tuple[int, int]:
+        """Final state as the decoder's two warm-up units (hi, lo)."""
+        return (self.x >> 16) & 0xFFFF, self.x & 0xFFFF
+
+
+class _RansDec:
+    """Binary rANS decoder lane; mirrors _RansEnc exactly (same refill
+    cadence as the encoder's emissions, in reverse)."""
+
+    __slots__ = ("x",)
+
+    def __init__(self, u0: int, u1: int):
+        self.x = (u0 << 16) | u1
+
+    def decode(self, p: int) -> tuple[int, bool]:
+        slot = self.x & ((1 << P_BITS) - 1)
+        hi = self.x >> P_BITS
+        if slot < p:
+            bit = 0
+            self.x = p * hi + slot
+        else:
+            bit = 1
+            self.x = ((1 << P_BITS) - p) * hi + slot - p
+        return bit, self.x < (1 << 16)
+
+    def refill(self, unit: int):
+        self.x = ((self.x << 16) | unit) & 0xFFFFFFFF
+
+
 def _upd(p: int, bit: int) -> int:
     if bit:
         return p - (p >> ADAPT_SHIFT)
@@ -301,9 +359,12 @@ def _lane_bits(chunk: np.ndarray):
     return out
 
 
-def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
+def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None,
+                    rans: bool = True):
     """Reference encoder.  Returns the payload bytes, or None when the
-    result would not be smaller than the input."""
+    result would not be smaller than the input.  rans=True emits the v3
+    coder (flags bit 2): binary rANS lanes, zero clamp loss, the final
+    coder state doubling as the warm-up units."""
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
     isize = len(buf)
     if isize == 0:
@@ -317,6 +378,13 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
     for s in sizes:
         schedules.append(_lane_bits(buf[off:off + s]) if s else [])
         off += s
+
+    if rans:
+        return _encode_rans(isize, L, sizes, schedules,
+                            struct.pack("<IHHI", isize, L,
+                                        _FLAG_MODEL_V2 | _FLAG_RANS,
+                                        max((len(s) for s in schedules),
+                                            default=0)))
 
     # lockstep simulation: iteration i codes bit i of every live lane.
     # Per-lane unit queues + the renorm event list let us assemble the
@@ -366,6 +434,59 @@ def wide_encode_ref(data: bytes | np.ndarray, n_lanes: int | None = None):
     return payload
 
 
+def _encode_rans(isize, L, sizes, schedules, header: bytes):
+    """v3 coder core: forward model pass (per-bit probabilities), then a
+    reverse lockstep rANS pass.  The decoder's refill at (iteration, lane)
+    mirrors the encoder's emission at the same (iteration, lane) — the
+    standard interleaved-rANS identity — so the stream is assembled in the
+    same consumption order as v2: two warm units per live lane (lane
+    order), then one unit per refill event in (iteration, lane) order."""
+    pri = priors().tolist()
+    pseqs = []
+    for sched in schedules:
+        probs = list(pri)
+        ps = []
+        for ctx, bit in sched:
+            p = probs[ctx]
+            ps.append(p)
+            probs[ctx] = _upd(p, bit)
+        pseqs.append(ps)
+
+    lanes = [_RansEnc() for _ in range(L)]
+    max_bits = max((len(s) for s in schedules), default=0)
+    events = []  # (iteration, lane) of each emission
+    for it in range(max_bits - 1, -1, -1):
+        for k in range(L):
+            sched = schedules[k]
+            if it < len(sched):
+                ctx, bit = sched[it]
+                if lanes[k].encode(bit, pseqs[k][it]):
+                    events.append((it, k))
+    events.sort()
+
+    n_groups = -(-L // GROUP)
+    gstreams: list[list[int]] = [[] for _ in range(n_groups)]
+    # lane k's consumption queue = reversed emissions
+    queues = [lane.emits[::-1] for lane in lanes]
+    next_unit = [0] * L
+    for k in range(L):
+        if schedules[k]:
+            gstreams[k // GROUP].extend(lanes[k].warm())
+    for _it, k in events:
+        gstreams[k // GROUP].append(queues[k][next_unit[k]])
+        next_unit[k] += 1
+    for k in range(L):
+        assert next_unit[k] == len(queues[k])
+
+    payload = header
+    payload += np.asarray([len(g) for g in gstreams], dtype="<u4").tobytes()
+    for g in gstreams:
+        payload += np.asarray(g, dtype="<u2").tobytes()
+    if len(payload) >= isize:
+        return None
+    return payload
+
+
 def wide_decode_ref(payload: bytes) -> bytes:
     isize, L, flags, _max_bits = struct.unpack_from("<IHHI", payload, 0)
     if not flags & _FLAG_MODEL_V2:
@@ -388,10 +509,11 @@ def wide_decode_ref(payload: bytes) -> bytes:
         sizes = [int(x) for x in explicit_sizes]
     else:
         sizes = lane_sizes(isize, L)
-    return _decode_lockstep(isize, L, sizes, gstreams)
+    return _decode_lockstep(isize, L, sizes, gstreams,
+                            rans=bool(flags & _FLAG_RANS))
 
 
-def _decode_lockstep(isize, L, sizes, gstreams) -> bytes:
+def _decode_lockstep(isize, L, sizes, gstreams, rans: bool = False) -> bytes:
     # Each group's stream is in consumption order: warm-up (2 per non-empty
     # lane), then one unit per renormalization in (iteration, lane) order.
     out = np.zeros(isize, dtype=np.uint8)
@@ -423,7 +545,7 @@ def _decode_lockstep(isize, L, sizes, gstreams) -> bytes:
             u0 = gstreams[g][gpos[g]]
             u1 = gstreams[g][gpos[g] + 1]
             gpos[g] += 2
-            decs[k] = _RcDec(int(u0), int(u1))
+            decs[k] = (_RansDec if rans else _RcDec)(int(u0), int(u1))
 
     live = sum(1 for k in range(L) if phase[k] != PH_DONE)
     while live > 0:
@@ -551,12 +673,14 @@ def _native_lib():
     return None
 
 
-def wide_encode(data, n_lanes=None, balanced=True):
+def wide_encode(data, n_lanes=None, balanced=True, rans=True):
     """Engine entry: native lockstep codec when built, numpy reference
     otherwise.  With balanced=True the lanes split at run boundaries with
     ~equal run counts (flags bit 0 + explicit size table), which evens out
     lane bit-lengths — the lockstep kernels' iteration count is the MAX
-    over lanes."""
+    over lanes.  rans=True emits the v3 binary-rANS coder (flags bit 2,
+    ~2.5% smaller: no clamp loss, no flush units); rans=False the v2
+    carry-less range coder."""
     lib = _native_lib()
     if lib is not None:
         from ..native import _i32p, _u8p
@@ -571,13 +695,13 @@ def wide_encode(data, n_lanes=None, balanced=True):
                                             _i32p(sizes)) == 0:
                 sizes_p = _i32p(sizes)
         rc = lib.tbsc_wide_encode(_u8p(buf), len(buf), _u8p(out), len(out),
-                                  L, sizes_p)
+                                  L, sizes_p, 1 if rans else 0)
         if rc == -3:
             return None
         if rc < 0:
             raise RuntimeError(f"wide_encode native error {rc}")
         return out[:rc].tobytes()
-    return wide_encode_ref(data, n_lanes)
+    return wide_encode_ref(data, n_lanes, rans=rans)
 
 
 def wide_decode(payload):

@@ -34,6 +34,7 @@ from . import wide as W
 
 GROUPS = 8
 LANES = GROUPS * 128  # kernel lane count (device path uses 1024 lanes)
+RANS = False  # kernel coder version: False = v2 range coder, True = v3 rANS
 NCTX = W.NCTX
 _PRIORS = tuple(int(x) for x in W.priors())
 

@@ -14,14 +14,54 @@ from libbsc_tpu.ops import wide
 from tests.conftest import make_corpus
 
 
+@pytest.mark.parametrize("rans", [False, True])
 @pytest.mark.parametrize("kind", ["text", "runs", "zeros", "periodic"])
 @pytest.mark.parametrize("n", [1, 255, 4096, 70001])
-def test_wide_reference_codec_roundtrip(rng, kind, n):
+def test_wide_reference_codec_roundtrip(rng, kind, n, rans):
     d = make_corpus(rng, n, kind)
-    p = wide.wide_encode_ref(d, n_lanes=8 if n > 256 else 2)
+    p = wide.wide_encode_ref(d, n_lanes=8 if n > 256 else 2, rans=rans)
     if p is None:
         return  # incompressible at this size
     assert wide.wide_decode_ref(p) == d
+
+
+@pytest.mark.parametrize("kind", ["text", "runs", "periodic"])
+def test_wide_v3_native_reference_parity(rng, kind):
+    """The native v3 (rANS) encoder must produce the reference encoder's
+    exact bytes, and each implementation must decode the other's payload."""
+    from libbsc_tpu import engine
+
+    api.init()
+    if engine._lib() is None:
+        pytest.skip("native runtime unavailable")
+    d = make_corpus(rng, 150_000, kind)
+    for L in (8, 128):
+        ref = wide.wide_encode_ref(d, n_lanes=L, rans=True)
+        nat = wide.wide_encode(d, n_lanes=L, balanced=False, rans=True)
+        assert ref == nat
+        if ref is None:
+            continue
+        assert wide.wide_decode(ref) == d       # native decoder
+        assert wide.wide_decode_ref(nat) == d   # reference decoder
+        # balanced lane table variant round-trips too
+        bal = wide.wide_encode(d, n_lanes=L, balanced=True, rans=True)
+        if bal is not None:
+            assert wide.wide_decode(bal) == d
+            assert wide.wide_decode_ref(bal) == d
+
+
+def test_wide_v3_beats_v2(rng):
+    """v3 (rANS) removes the v2 coder's clamp loss and flush units: on BWT
+    input it must be strictly smaller at every lane count."""
+    from libbsc_tpu import engine
+
+    api.init()
+    data = np.frombuffer(make_corpus(rng, 1 << 20, "text"), np.uint8).copy()
+    engine.bwt_encode(data, 0)
+    for L in (32, 128):
+        p2 = wide.wide_encode(data.tobytes(), n_lanes=L, rans=False)
+        p3 = wide.wide_encode(data.tobytes(), n_lanes=L, rans=True)
+        assert len(p3) < len(p2)
 
 
 def test_wide_random_incompressible(rng):
@@ -111,17 +151,54 @@ def test_wide_mode_rejected_by_reference_binary(tmp_path, rng):
 
 def test_wide_ratio_cost_documented_bound(rng):
     """The wide profile trades ratio for lockstep throughput; keep the cost
-    within the documented envelope (model v2: < 15% over QLFC-static on BWT
-    input at 128 lanes; the pre-v2 model was bounded at 25%)."""
+    within the documented envelope.  v3 (rANS) on BWT text: < 5% at 32
+    lanes, < 11% at 128 lanes of a 1 MB block (the cost is per-lane model
+    warm-up, so it scales with lanes/bytes; the production bound at bench
+    scale is the 16 MB test below).  The v2 coder's envelope was 15%."""
     from libbsc_tpu import engine
 
     api.init()
     data = np.frombuffer(make_corpus(rng, 1 << 20, "text"), np.uint8).copy()
     engine.bwt_encode(data, 0)
     static = engine.coder_compress(data, C.CODER_QLFC_STATIC, 0)
-    p = wide.wide_encode_ref(data.tobytes(), n_lanes=128)
+    p32 = wide.wide_encode(data.tobytes(), n_lanes=32, rans=True)
+    p128 = wide.wide_encode(data.tobytes(), n_lanes=128, rans=True)
+    assert p32 is not None and p128 is not None
+    assert len(p32) < 1.05 * len(static)
+    assert len(p128) < 1.11 * len(static)
+
+
+def test_wide_ratio_cost_bench_scale(rng):
+    """At production block size (16 MB of bench-style text, 128 KB/lane)
+    the v3 wide profile must stay under 10% over QLFC-static — the ratio
+    operating point at 128 lanes (the 1024-lane kernel point trades ~2%
+    more for 8x lane parallelism; see docs/WIDE_PROFILE.md).  The corpus
+    mirrors bench.make_corpus: zipf word mix + hex-token sprinkle."""
+    from libbsc_tpu import engine
+
+    api.init()
+    if engine._lib() is None:
+        pytest.skip("native runtime unavailable (too slow in pure python)")
+    g = np.random.default_rng(0xB5C ^ 2)
+    alphabet = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", dtype=np.uint8)
+    vocab = []
+    for _ in range(4096):
+        ln = int(g.integers(2, 13))
+        vocab.append(bytes(alphabet[g.integers(0, 26, ln)]) + b" ")
+    n = 16 << 20
+    ranks = g.zipf(1.3, size=n // 4) % 4096
+    toks = [vocab[int(r)] for r in ranks]
+    hx = g.integers(0, 256, size=(len(toks) // 37 + 1, 8), dtype=np.uint8)
+    for j, i in enumerate(range(13, len(toks), 37)):
+        toks[i] = hx[j].tobytes().hex().encode() + b" "
+    data = np.frombuffer(b"".join(toks)[:n], np.uint8).copy()
+
+    engine.bwt_encode(data, 0)
+    static = engine.coder_compress(data, C.CODER_QLFC_STATIC, 0)
+    p = wide.wide_encode(data.tobytes(), n_lanes=128, rans=True)
     assert p is not None
-    assert len(p) < 1.15 * len(static)
+    assert len(p) < 1.10 * len(static)
+    assert wide.wide_decode(p) == data.tobytes()
 
 
 def test_wide_device_kernel_parity_interpret(rng):
@@ -135,7 +212,7 @@ def test_wide_device_kernel_parity_interpret(rng):
         out += bytes([rng.integers(0, 4)]) * int(rng.integers(1, 10))
     d = bytes(out[:n])
     dev = wide_kernels.device_encode(d, interpret=True)
-    ref = wide.wide_encode(d, n_lanes=1024)
+    ref = wide.wide_encode(d, n_lanes=1024, rans=wide_kernels.RANS)
     assert dev == ref
     assert wide.wide_decode(dev) == d
 
@@ -150,7 +227,7 @@ def test_wide_device_decode_parity_interpret(rng):
     while len(out) < n:
         out += bytes([rng.integers(0, 4)]) * int(rng.integers(1, 10))
     d = bytes(out[:n])
-    p = wide.wide_encode(d, n_lanes=1024)
+    p = wide.wide_encode(d, n_lanes=1024, rans=wide_kernels.RANS)
     back = wide_kernels.device_decode(p, interpret=True)
     assert back == d
 
