@@ -34,7 +34,7 @@ from . import wide as W
 
 GROUPS = 8
 LANES = GROUPS * 128  # kernel lane count (device path uses 1024 lanes)
-RANS = False  # kernel coder version: False = v2 range coder, True = v3 rANS
+RANS = True  # kernel coder version: False = v2 range coder, True = v3 rANS
 NCTX = W.NCTX
 _PRIORS = tuple(int(x) for x in W.priors())
 
@@ -43,6 +43,125 @@ def _jax():
     import jax  # deferred: keep module importable without backend init
 
     return jax
+
+
+# ---------------------------------------------------------------------------
+# shared state-machine pieces (encode-side kernels: v2 coder, model pass)
+# ---------------------------------------------------------------------------
+
+_PH_RFLAG, _PH_REXP, _PH_RMAN, _PH_UFLAG, _PH_UEXP, _PH_UMAN = range(6)
+
+
+def _sm_ctx(phase, t, brs, val0, rank0, rh, uh, prb, pub, active):
+    """Model context of the next bit from the pre-bit lane state (the
+    model v2 spec, ops/wide.py). Inactive lanes map to the sink ctx 511."""
+    import jax.numpy as jnp
+
+    rmoff = jnp.zeros(phase.shape, jnp.int32)
+    for b, off in ((3, 1), (4, 4), (5, 11), (6, 26), (7, 41), (8, 56)):
+        rmoff = jnp.where(brs == b, off, rmoff)
+    rankb = jnp.where(rank0 == 0, 0, jnp.where(rank0 <= 2, 1, 2))
+    ctx = jnp.where(
+        phase == _PH_RFLAG, rh,
+        jnp.where(phase == _PH_REXP,
+                  16 + 7 * prb + 21 * (rh & 1) + t - 1,
+        jnp.where(phase == _PH_RMAN,
+                  58 + rmoff + jnp.minimum(val0 - 1, 14),
+        jnp.where(phase == _PH_UFLAG, 129 + 3 * uh + rankb,
+        jnp.where(phase == _PH_UEXP, 177 + 24 * pub + t - 1,
+                  249 + 16 * (brs > 3).astype(jnp.int32)
+                  + jnp.minimum(val0, 15))))))
+    return jnp.where(active, ctx, 511)
+
+
+def _sm_next(phase, t, brs, val0, rank0, rh, uh, prb, pub, bit, active):
+    """One state-machine transition given the coded bit.  Returns the
+    next (phase, t, brs, val, rank, rh, uh, prb, pub) tuple; a lane's
+    state freezes once inactive."""
+    import jax.numpy as jnp
+
+    is_rf = active & (phase == _PH_RFLAG)
+    is_re = active & (phase == _PH_REXP)
+    is_rm = active & (phase == _PH_RMAN)
+    is_uf = active & (phase == _PH_UFLAG)
+    is_ue = active & (phase == _PH_UEXP)
+    is_um = active & (phase == _PH_UMAN)
+
+    nrh = jnp.where(is_rf, ((rh << 1) | bit) & 0xF, rh)
+    nuh = jnp.where(is_uf, ((uh << 1) | bit) & 0xF, uh)
+
+    b3 = jnp.where(brs <= 1, 0, jnp.where(brs <= 3, 1, 2))
+    um_done = is_um & (t + 1 == brs - 1)
+    comp1 = is_uf & (bit == 0)
+    comp = comp1 | um_done
+
+    np_ = phase
+    nt = t
+    nbrs = brs
+    nval = val0
+    nrank = rank0
+    nprb = prb
+    npub = pub
+
+    np_ = jnp.where(is_rf & (bit == 1), _PH_REXP, np_)
+    nt = jnp.where(is_rf & (bit == 1), 1, nt)
+    nbrs = jnp.where(is_rf & (bit == 1), 1, nbrs)
+    np_ = jnp.where(is_rf & (bit == 0), _PH_UFLAG, np_)
+    nrank = jnp.where(is_rf & (bit == 0), 0, nrank)
+    nprb = jnp.where(is_rf & (bit == 0), 0, nprb)
+
+    re_cont = is_re & (bit == 1)
+    hit_cap = re_cont & (brs + 1 == W.RANK_EXP_CAP)
+    np_ = jnp.where(hit_cap, _PH_RMAN, np_)
+    nval = jnp.where(hit_cap, 1, nval)
+    nprb = jnp.where(hit_cap,
+                     jnp.where(brs + 1 <= 1, 0,
+                               jnp.where(brs + 1 <= 3, 1, 2)), nprb)
+    nbrs = jnp.where(re_cont, brs + 1, nbrs)
+    nt = jnp.where(re_cont & ~hit_cap, t + 1, nt)
+    nt = jnp.where(hit_cap, 0, nt)
+    re_stop = is_re & (bit == 0)
+    nprb = jnp.where(re_stop, b3, nprb)
+    one_rank = re_stop & (brs == 1)
+    np_ = jnp.where(one_rank, _PH_UFLAG, np_)
+    nrank = jnp.where(one_rank, 1, nrank)
+    rm_multi = re_stop & (brs != 1)
+    np_ = jnp.where(rm_multi, _PH_RMAN, np_)
+    nval = jnp.where(rm_multi, 1, nval)
+    nt = jnp.where(rm_multi, 0, nt)
+
+    rm_done = is_rm & (t + 1 == brs - 1)
+    nval = jnp.where(is_rm, (val0 << 1) | bit, nval)
+    nt = jnp.where(is_rm & ~rm_done, t + 1, nt)
+    np_ = jnp.where(rm_done, _PH_UFLAG, np_)
+    nrank = jnp.where(rm_done, (val0 << 1) | bit, nrank)
+
+    np_ = jnp.where(is_uf & (bit == 1), _PH_UEXP, np_)
+    nt = jnp.where(is_uf & (bit == 1), 1, nt)
+    nbrs = jnp.where(is_uf & (bit == 1), 1, nbrs)
+    npub = jnp.where(comp1, 0, npub)
+
+    ue_cont = is_ue & (bit == 1)
+    ue_cap = ue_cont & (brs + 1 == W.RUN_EXP_CAP)
+    nbrs = jnp.where(ue_cont, brs + 1, nbrs)
+    nt = jnp.where(ue_cont & ~ue_cap, t + 1, nt)
+    npub = jnp.where(ue_cap,
+                     jnp.where(brs + 1 <= 1, 0,
+                               jnp.where(brs + 1 <= 3, 1, 2)), npub)
+    np_ = jnp.where(ue_cap, _PH_UMAN, np_)
+    nval = jnp.where(ue_cap, 1, nval)
+    nt = jnp.where(ue_cap, 0, nt)
+    ue_stop = is_ue & (bit == 0)
+    npub = jnp.where(ue_stop, b3, npub)
+    np_ = jnp.where(ue_stop, _PH_UMAN, np_)
+    nval = jnp.where(ue_stop, 1, nval)
+    nt = jnp.where(ue_stop, 0, nt)
+
+    nval = jnp.where(is_um, (val0 << 1) | bit, nval)
+    nt = jnp.where(is_um & ~um_done, t + 1, nt)
+
+    np_ = jnp.where(comp, _PH_RFLAG, np_)
+    return np_, nt, nbrs, nval, nrank, nrh, nuh, nprb, npub
 
 
 # ---------------------------------------------------------------------------
@@ -153,23 +272,8 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             pub = pub_s[...]
             val0 = val_s[...]
             rank0 = rank_s[...]
-            rmoff = jnp.zeros((GROUPS, 128), jnp.int32)
-            for b, off in ((3, 1), (4, 4), (5, 11), (6, 26), (7, 41),
-                           (8, 56)):
-                rmoff = jnp.where(brs == b, off, rmoff)
-            rankb = jnp.where(rank0 == 0, 0,
-                              jnp.where(rank0 <= 2, 1, 2))
-            ctx = jnp.where(
-                phase == PH_RFLAG, rh,
-                jnp.where(phase == PH_REXP,
-                          16 + 7 * prb + 21 * (rh & 1) + t - 1,
-                jnp.where(phase == PH_RMAN,
-                          58 + rmoff + jnp.minimum(val0 - 1, 14),
-                jnp.where(phase == PH_UFLAG, 129 + 3 * uh + rankb,
-                jnp.where(phase == PH_UEXP, 177 + 24 * pub + t - 1,
-                          249 + 16 * (brs > 3).astype(jnp.int32)
-                          + jnp.minimum(val0, 15))))))
-            ctx = jnp.where(active, ctx, 511)
+            ctx = _sm_ctx(phase, t, brs, val0, rank0, rh, uh, prb, pub,
+                          active)
 
             # one-hot model lookup + update over the context axis
             p = jnp.zeros((GROUPS, 128), jnp.int32)
@@ -237,93 +341,15 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
 
             # ---- state machine (mirror of the decode kernel's; a lane's
             # state freezes once its bit stream goes inactive) ----
-            is_rf = active & (phase == PH_RFLAG)
-            is_re = active & (phase == PH_REXP)
-            is_rm = active & (phase == PH_RMAN)
-            is_uf = active & (phase == PH_UFLAG)
-            is_ue = active & (phase == PH_UEXP)
-            is_um = active & (phase == PH_UMAN)
-
-            rh_s[...] = jnp.where(is_rf, ((rh << 1) | bit) & 0xF, rh)
-            uh_s[...] = jnp.where(is_uf, ((uh << 1) | bit) & 0xF, uh)
-
-            b3 = jnp.where(brs <= 1, 0, jnp.where(brs <= 3, 1, 2))
-            um_done = is_um & (t + 1 == brs - 1)
-            comp1 = is_uf & (bit == 0)
-            comp = comp1 | um_done
-
-            np_ = phase
-            nt = t
-            nbrs = brs
-            nval = val0
-            nrank = rank0
-            nprb = prb
-            npub = pub
-
-            np_ = jnp.where(is_rf & (bit == 1), PH_REXP, np_)
-            nt = jnp.where(is_rf & (bit == 1), 1, nt)
-            nbrs = jnp.where(is_rf & (bit == 1), 1, nbrs)
-            np_ = jnp.where(is_rf & (bit == 0), PH_UFLAG, np_)
-            nrank = jnp.where(is_rf & (bit == 0), 0, nrank)
-            nprb = jnp.where(is_rf & (bit == 0), 0, nprb)
-
-            re_cont = is_re & (bit == 1)
-            hit_cap = re_cont & (brs + 1 == W.RANK_EXP_CAP)
-            np_ = jnp.where(hit_cap, PH_RMAN, np_)
-            nval = jnp.where(hit_cap, 1, nval)
-            nprb = jnp.where(hit_cap,
-                             jnp.where(brs + 1 <= 1, 0,
-                                       jnp.where(brs + 1 <= 3, 1, 2)), nprb)
-            nbrs = jnp.where(re_cont, brs + 1, nbrs)
-            nt = jnp.where(re_cont & ~hit_cap, t + 1, nt)
-            nt = jnp.where(hit_cap, 0, nt)
-            re_stop = is_re & (bit == 0)
-            nprb = jnp.where(re_stop, b3, nprb)
-            one_rank = re_stop & (brs == 1)
-            np_ = jnp.where(one_rank, PH_UFLAG, np_)
-            nrank = jnp.where(one_rank, 1, nrank)
-            rm_multi = re_stop & (brs != 1)
-            np_ = jnp.where(rm_multi, PH_RMAN, np_)
-            nval = jnp.where(rm_multi, 1, nval)
-            nt = jnp.where(rm_multi, 0, nt)
-
-            rm_done = is_rm & (t + 1 == brs - 1)
-            nval = jnp.where(is_rm, (val0 << 1) | bit, nval)
-            nt = jnp.where(is_rm & ~rm_done, t + 1, nt)
-            np_ = jnp.where(rm_done, PH_UFLAG, np_)
-            nrank = jnp.where(rm_done, (val0 << 1) | bit, nrank)
-
-            np_ = jnp.where(is_uf & (bit == 1), PH_UEXP, np_)
-            nt = jnp.where(is_uf & (bit == 1), 1, nt)
-            nbrs = jnp.where(is_uf & (bit == 1), 1, nbrs)
-            npub = jnp.where(comp1, 0, npub)
-
-            ue_cont = is_ue & (bit == 1)
-            ue_cap = ue_cont & (brs + 1 == W.RUN_EXP_CAP)
-            nbrs = jnp.where(ue_cont, brs + 1, nbrs)
-            nt = jnp.where(ue_cont & ~ue_cap, t + 1, nt)
-            npub = jnp.where(ue_cap,
-                             jnp.where(brs + 1 <= 1, 0,
-                                       jnp.where(brs + 1 <= 3, 1, 2)), npub)
-            np_ = jnp.where(ue_cap, PH_UMAN, np_)
-            nval = jnp.where(ue_cap, 1, nval)
-            nt = jnp.where(ue_cap, 0, nt)
-            ue_stop = is_ue & (bit == 0)
-            npub = jnp.where(ue_stop, b3, npub)
-            np_ = jnp.where(ue_stop, PH_UMAN, np_)
-            nval = jnp.where(ue_stop, 1, nval)
-            nt = jnp.where(ue_stop, 0, nt)
-
-            nval = jnp.where(is_um, (val0 << 1) | bit, nval)
-            nt = jnp.where(is_um & ~um_done, t + 1, nt)
-
-            np_ = jnp.where(comp, PH_RFLAG, np_)
-
+            np_, nt, nbrs, nval, nrank, nrh, nuh, nprb, npub = _sm_next(
+                phase, t, brs, val0, rank0, rh, uh, prb, pub, bit, active)
             phase_s[...] = np_
             t_s[...] = nt
             brs_s[...] = nbrs
             val_s[...] = nval
             rank_s[...] = nrank
+            rh_s[...] = nrh
+            uh_s[...] = nuh
             prb_s[...] = nprb
             pub_s[...] = npub
             return 0
@@ -394,6 +420,313 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
 @functools.lru_cache(maxsize=16)
 def _coder_call(TI: int, IT: int, MAXROWS: int, interpret: bool):
     return _build_kernel(TI, IT, MAXROWS, interpret)
+
+
+# ---------------------------------------------------------------------------
+# v3 (rANS) encode: two passes.  Pass A runs the model forward and writes
+# the per-bit probability planes; pass B walks the planes BACKWARD doing
+# the rANS arithmetic (exact u32/u12 long division in base-256 digits via
+# f32 — the VPU has no integer divide) and stages emissions in lane-
+# DESCENDING order, so the host's whole-stream reversal lands exactly in
+# the decoder's (iteration asc, lane asc) consumption order.  The final
+# lane states are the warm-up units; assembly is pure concatenation.
+# ---------------------------------------------------------------------------
+
+def _build_model_kernel(TI: int, IT: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_steps = IT // TI
+
+    def kernel(pk_ref, pp_ref, probs,
+               phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for c in range(NCTX):
+                probs[c] = jnp.full((GROUPS, 128), _PRIORS[c], jnp.int32)
+            for ref in (phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s,
+                        prb_s, pub_s):
+                ref[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+
+        def row_body(i, _):
+            byte = pk_ref[i >> 2].astype(jnp.int32)
+            fld = (byte >> ((i & 3) * 2)) & 3
+            bit = fld & 1
+            active = (fld & 2) != 0
+
+            phase = phase_s[...]
+            t = t_s[...]
+            brs = brs_s[...]
+            rh = rh_s[...]
+            uh = uh_s[...]
+            prb = prb_s[...]
+            pub = pub_s[...]
+            val0 = val_s[...]
+            rank0 = rank_s[...]
+            ctx = _sm_ctx(phase, t, brs, val0, rank0, rh, uh, prb, pub,
+                          active)
+
+            p = jnp.zeros((GROUPS, 128), jnp.int32)
+            for c in range(NCTX):
+                pc = probs[c]
+                m = ctx == c
+                p = jnp.where(m, pc, p)
+                upd = jnp.where(bit == 1, pc - (pc >> 5),
+                                pc + ((4096 - pc) >> 5))
+                probs[c] = jnp.where(m & active, upd, pc)
+            pp_ref[i] = p
+
+            np_, nt, nbrs, nval, nrank, nrh, nuh, nprb, npub = _sm_next(
+                phase, t, brs, val0, rank0, rh, uh, prb, pub, bit, active)
+            phase_s[...] = np_
+            t_s[...] = nt
+            brs_s[...] = nbrs
+            val_s[...] = nval
+            rank_s[...] = nrank
+            rh_s[...] = nrh
+            uh_s[...] = nuh
+            prb_s[...] = nprb
+            pub_s[...] = npub
+            return 0
+
+        lax.fori_loop(0, TI, row_body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((TI // 4, GROUPS, 128), lambda s: (s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TI, GROUPS, 128), lambda s: (s, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((NCTX, GROUPS, 128), jnp.int32)]
+        + [pltpu.VMEM((GROUPS, 128), jnp.int32) for _ in range(9)],
+    )
+
+    return jax.jit(functools.partial(
+        pl.pallas_call,
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((IT, GROUPS, 128), jnp.int32),
+        interpret=interpret,
+    )())
+
+
+def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_steps = IT // TI
+    u32 = jnp.uint32
+
+    def lane_iota():
+        return jax.lax.broadcasted_iota(jnp.int32, (GROUPS, 128), 1)
+
+    def prefix_row(x):
+        pos = lane_iota()
+        for s in range(7):
+            sh = jnp.roll(x, 1 << s, axis=1)
+            x = x + jnp.where(pos >= (1 << s), sh, 0)
+        return x
+
+    def leftpack(vals, valid_i32):
+        pos = lane_iota()
+        v = valid_i32
+        incl = prefix_row(v)
+        dest = incl - v
+        d = jnp.where(v == 1, pos - dest, 0)
+        for s in range(7):
+            k = 1 << s
+            move = v * ((d >> s) & 1)
+            inc = jnp.roll(move, -k, axis=1)
+            vals = jnp.where(inc == 1, jnp.roll(vals, -k, axis=1), vals)
+            d = jnp.where(inc == 1, jnp.roll(d, -k, axis=1) - k, d)
+            v = jnp.maximum(inc, v * (1 - move))
+        return vals
+
+    def varroll(x, f):
+        for s in range(7):
+            sh = jnp.roll(x, 1 << s, axis=1)
+            x = jnp.where(((f >> s) & 1) == 1, sh, x)
+        return x
+
+    def lane_flip(x):
+        """Reverse the 128-lane axis: exchange across every index bit
+        (i -> ~i & 127), 7 roll+select stages."""
+        pos = lane_iota()
+        for s in range(7):
+            k = 1 << s
+            fwd = jnp.roll(x, -k, axis=1)
+            bwd = jnp.roll(x, k, axis=1)
+            x = jnp.where(((pos >> s) & 1) == 0, fwd, bwd)
+        return x
+
+    def kernel(pk_ref, pp_ref, out_ref, counts_ref, fx_ref,
+               x_s, stA, stB, fills, tile, rowcnt, tilecnt, sem):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            x_s[...] = jnp.full((GROUPS, 128), 1 << 16, u32)
+            stA[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+            stB[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+            fills[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+            for g in range(GROUPS):
+                rowcnt[g] = 0
+                tilecnt[g] = 0
+
+        def flush_group(g):
+            tc = tilecnt[g]
+            cp = pltpu.make_async_copy(
+                tile.at[g],
+                out_ref.at[g, pl.ds(tc * 8, 8), :],
+                sem)
+            cp.start()
+            cp.wait()
+            tilecnt[g] = tc + 1
+
+        def row_body(j, _):
+            i = TI - 1 - j  # walk the step's rows backward
+            byte = pk_ref[i >> 2].astype(jnp.int32)
+            fld = (byte >> ((i & 3) * 2)) & 3
+            bit = fld & 1
+            active = (fld & 2) != 0
+
+            p = pp_ref[i]
+            f = jnp.where(bit == 1, 4096 - p, p)
+            f = jnp.where(active, f, 1)  # avoid 0-divide on dead lanes
+            x = x_s[...]
+
+            ren = active & (x >= (f.astype(u32) << 20))
+            emitval = (x & 0xFFFF).astype(jnp.int32) | (lane_iota() << 16)
+            x2 = jnp.where(ren, x >> 16, x)
+
+            # exact q = x2 / f, r = x2 % f: base-256 long division; each
+            # digit step has t < f*256 <= 2^20 (f32-exact), and the f32
+            # quotient truncation is at most 1 low — one fix-up each way
+            ff = f.astype(jnp.float32)
+            r = jnp.zeros((GROUPS, 128), jnp.int32)
+            qd = []
+            for sh in (24, 16, 8, 0):
+                d = ((x2 >> sh) & 0xFF).astype(jnp.int32)
+                tt = r * 256 + d
+                q0 = (tt.astype(jnp.float32) / ff).astype(jnp.int32)
+                rr = tt - q0 * f
+                q0 = q0 + (rr >= f).astype(jnp.int32) \
+                    - (rr < 0).astype(jnp.int32)
+                r = tt - q0 * f
+                qd.append(q0.astype(u32))
+            q = ((qd[0] * 256 + qd[1]) * 256 + qd[2]) * 256 + qd[3]
+
+            base = jnp.where(bit == 1, p, 0).astype(u32)
+            x3 = (q << 12) + r.astype(u32) + base
+            x_s[...] = jnp.where(active, x3, x)
+
+            # ---- emission staging, lane-DESCENDING within the row ----
+            ren_i = ren.astype(jnp.int32)
+            m_row = jnp.sum(ren_i, axis=1, keepdims=True)
+            packed = leftpack(lane_flip(emitval), lane_flip(ren_i))
+            pos = lane_iota()
+            fl = fills[...]
+            valid0 = (pos < m_row).astype(jnp.int32)
+            rolled = varroll(jnp.where(valid0 == 1, packed, 0), fl)
+            occr = varroll(valid0, fl)
+            inA = (occr == 1) & (pos >= fl)
+            inB = (occr == 1) & (pos < fl)
+            stA[...] = jnp.where(inA, rolled, stA[...])
+            stB[...] = jnp.where(inB, rolled, stB[...])
+            fnew = fl + m_row
+            fills[...] = jnp.where(fnew >= 128, fnew - 128, fnew)
+
+            for g in range(GROUPS):
+                @pl.when(fnew[g, 0] >= 128)
+                def _(g=g):
+                    rc = rowcnt[g]
+                    arow = stA[g, :]
+                    for rr in range(8):
+                        @pl.when(rc == rr)
+                        def _(rr=rr):
+                            tile[g, rr, :] = arow
+                    stA[g, :] = stB[g, :]
+                    stB[g, :] = jnp.zeros((128,), jnp.int32)
+                    rowcnt[g] = rc + 1
+                    @pl.when(rc + 1 == 8)
+                    def _():
+                        flush_group(g)
+                        rowcnt[g] = 0
+            return 0
+
+        lax.fori_loop(0, TI, row_body, 0)
+
+        @pl.when(step == n_steps - 1)
+        def _finish():
+            for g in range(GROUPS):
+                cnt = (tilecnt[g] * 1024 + rowcnt[g] * 128 + fills[g, 0])
+                rc = rowcnt[g]
+                arow = stA[g, :]
+                for rr in range(8):
+                    @pl.when(rc == rr)
+                    def _(rr=rr):
+                        tile[g, rr, :] = arow
+                flush_group(g)
+                counts_ref[g, :] = jnp.full((128,), cnt, jnp.int32)
+            fx_ref[...] = x_s[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=[
+            # both planes walked back-to-front across steps
+            pl.BlockSpec((TI // 4, GROUPS, 128),
+                         lambda s: (n_steps - 1 - s, 0, 0)),
+            pl.BlockSpec((TI, GROUPS, 128),
+                         lambda s: (n_steps - 1 - s, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),
+            pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GROUPS, 128), jnp.uint32),        # x state
+            pltpu.VMEM((GROUPS, 128), jnp.int32),         # staging A
+            pltpu.VMEM((GROUPS, 128), jnp.int32),         # staging B
+            pltpu.VMEM((GROUPS, 128), jnp.int32),         # fills (bcast)
+            pltpu.VMEM((GROUPS, 8, 128), jnp.int32),      # tile
+            pltpu.SMEM((GROUPS,), jnp.int32),             # rowcnt
+            pltpu.SMEM((GROUPS,), jnp.int32),             # tilecnt
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    return jax.jit(functools.partial(
+        pl.pallas_call,
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((GROUPS, MAXROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((GROUPS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((GROUPS, 128), jnp.uint32),
+        ),
+        interpret=interpret,
+    )())
+
+
+@functools.lru_cache(maxsize=16)
+def _model_call(TI: int, IT: int, interpret: bool):
+    return _build_model_kernel(TI, IT, interpret)
+
+
+@functools.lru_cache(maxsize=16)
+def _rans_call(TI: int, IT: int, MAXROWS: int, interpret: bool):
+    return _build_rans_kernel(TI, IT, MAXROWS, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -478,6 +811,16 @@ def device_encode(data: bytes, interpret: bool = False):
     IT = _it_bucket(max(max_bits, TI), TI)
     MAXROWS = -(-((IT * 8) + 2048) // 1024) * 8  # per-group unit bound, tiles
 
+    if RANS:
+        planes_p = _model_call(TI, IT, interpret)(planes_dev)
+        units_d, counts_d, fx_d = _rans_call(TI, IT, MAXROWS, interpret)(
+            planes_dev, planes_p)
+        counts = np.asarray(counts_d)[:, 0]
+        used_rows = int(-(-int(counts.max()) // 128)) + 8
+        units = np.asarray(units_d[:, :used_rows])
+        fx = np.asarray(fx_d)
+        return _assemble_rans(n, units, counts, fx, sizes, max_bits)
+
     units_d, counts_d, flow_d = _coder_call(TI, IT, MAXROWS, interpret)(
         planes_dev)
     counts = np.asarray(counts_d)[:, 0]
@@ -486,6 +829,42 @@ def device_encode(data: bytes, interpret: bool = False):
     flow = np.asarray(flow_d)
 
     return _assemble(n, units, counts, flow, sizes, max_bits)
+
+
+def _assemble_rans(n: int, units: np.ndarray, counts: np.ndarray,
+                   fx: np.ndarray, lane_sz=None, max_bits: int = 0):
+    """v3 host post-pass: the reverse kernel emitted units in (iteration
+    desc, lane desc) order, so reversing each group's event stream IS the
+    decoder's consumption order; prepend the final lane states as the two
+    warm-up units per live lane (byte-identical to native/wide.cc's v3)."""
+    import struct
+
+    sizes = (np.asarray(lane_sz, dtype=np.int64) if lane_sz is not None
+             else np.asarray(W.lane_sizes(n, LANES)))
+    parts = []
+    gunits = []
+    for g in range(GROUPS):
+        cnt = int(counts[g])
+        ev = units[g].reshape(-1)[:cnt][::-1]
+        vals = (ev & 0xFFFF).astype(np.uint16)
+        live = sizes[g * 128:(g + 1) * 128] > 0
+        x = fx[g].astype(np.uint32)[live]
+        warm = np.stack([(x >> 16) & 0xFFFF, x & 0xFFFF],
+                        axis=1).reshape(-1).astype(np.uint16)
+        stream = np.concatenate([warm, vals])
+        gunits.append(len(stream))
+        parts.append(stream.astype("<u2").tobytes())
+
+    payload = struct.pack("<IHHI", n, LANES,
+                          (1 if lane_sz is not None else 0) | 2 | 4,
+                          max_bits)
+    if lane_sz is not None:
+        payload += sizes.astype("<u4").tobytes()
+    payload += np.asarray(gunits, dtype="<u4").tobytes()
+    payload += b"".join(parts)
+    if len(payload) >= n:
+        return None
+    return payload
 
 
 def _assemble(n: int, units: np.ndarray, counts: np.ndarray,
@@ -559,7 +938,7 @@ def _assemble(n: int, units: np.ndarray, counts: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
-                         interpret: bool):
+                         interpret: bool, rans: bool = False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -743,28 +1122,43 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             for c in range(NCTX):
                 p = jnp.where(ctx == c, probs[c], p)
 
-            # range decode
-            low = low_s[...]
-            rng = rng_s[...]
             code = code_s[...]
-            r = (rng >> 12) * p.astype(u32)
-            bit = ((code - low) >= r).astype(jnp.int32)
-            bit = jnp.where(active, bit, 0)
-            low1 = jnp.where(bit == 1, low + r, low)
-            rng1 = jnp.where(bit == 1, rng - r, r)
-            low1 = jnp.where(active, low1, low)
-            rng1 = jnp.where(active, rng1, rng)
-            ren = active & ((rng1 >> 16) == 0)
-            straddle = (((low1 ^ (low1 + rng1 - 1)) >> 16) != 0)
-            lo_part = jnp.uint32(0x10000) - (low1 & 0xFFFF)
-            hi_part = rng1 - lo_part
-            clamp = ren & straddle
-            take_hi = clamp & (hi_part > lo_part)
-            low2 = jnp.where(take_hi, low1 + lo_part, low1)
-            rng2 = jnp.where(clamp,
-                             jnp.where(take_hi, hi_part, lo_part), rng1)
-            low_s[...] = jnp.where(ren, low2 << 16, low2)
-            rng_s[...] = jnp.where(ren, rng2 << 16, rng2)
+            if rans:
+                # binary rANS decode (v3, flags bit 2): slot = x mod 4096
+                # picks the bit, then x contracts by the bit's frequency —
+                # no low/range pair, no interval clamping
+                pu = p.astype(u32)
+                slot = code & 0xFFF
+                hi = code >> 12
+                bit = (slot >= pu).astype(jnp.int32)
+                bit = jnp.where(active, bit, 0)
+                x1 = jnp.where(bit == 1,
+                               (jnp.uint32(4096) - pu) * hi + slot - pu,
+                               pu * hi + slot)
+                x1 = jnp.where(active, x1, code)
+                ren = active & (x1 < (1 << 16))
+            else:
+                # carry-less range decode (v2)
+                low = low_s[...]
+                rng = rng_s[...]
+                r = (rng >> 12) * p.astype(u32)
+                bit = ((code - low) >= r).astype(jnp.int32)
+                bit = jnp.where(active, bit, 0)
+                low1 = jnp.where(bit == 1, low + r, low)
+                rng1 = jnp.where(bit == 1, rng - r, r)
+                low1 = jnp.where(active, low1, low)
+                rng1 = jnp.where(active, rng1, rng)
+                ren = active & ((rng1 >> 16) == 0)
+                straddle = (((low1 ^ (low1 + rng1 - 1)) >> 16) != 0)
+                lo_part = jnp.uint32(0x10000) - (low1 & 0xFFFF)
+                hi_part = rng1 - lo_part
+                clamp = ren & straddle
+                take_hi = clamp & (hi_part > lo_part)
+                low2 = jnp.where(take_hi, low1 + lo_part, low1)
+                rng2 = jnp.where(clamp,
+                                 jnp.where(take_hi, hi_part, lo_part), rng1)
+                low_s[...] = jnp.where(ren, low2 << 16, low2)
+                rng_s[...] = jnp.where(ren, rng2 << 16, rng2)
 
             # model update
             for c in range(NCTX):
@@ -794,8 +1188,9 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             aligned = jnp.where(pos < 128 - o,
                                 varroll(rowA, sshift), varroll(rowB, sshift))
             unit = expand(aligned, ren_i)
+            xcur = x1 if rans else code
             code_s[...] = jnp.where(
-                ren, (code << 16) | unit.astype(u32), code)
+                ren, (xcur << 16) | unit.astype(u32), xcur)
             m_g = jnp.sum(ren_i, axis=1, keepdims=True)
             wof2 = wof + m_g
             wof_s[...] = jnp.where(wof2 >= 1024, wof2 - 1024, wof2)
@@ -1041,8 +1436,9 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
 
 
 @functools.lru_cache(maxsize=16)
-def _decoder_call(TI: int, IT: int, SROWS: int, MROWS: int, interpret: bool):
-    return _build_decode_kernel(TI, IT, SROWS, MROWS, interpret)
+def _decoder_call(TI: int, IT: int, SROWS: int, MROWS: int, interpret: bool,
+                  rans: bool = False):
+    return _build_decode_kernel(TI, IT, SROWS, MROWS, interpret, rans)
 
 
 @functools.lru_cache(maxsize=16)
@@ -1080,6 +1476,7 @@ def device_decode(payload: bytes, interpret: bool = False):
     isize, L, flags, max_bits = struct.unpack_from("<IHHI", payload, 0)
     if L != LANES or max_bits == 0:
         return None
+    rans = bool(flags & 4)  # v3 coder (binary rANS lanes)
     off = 12
     if flags & 1:
         lane_sz = np.frombuffer(payload, dtype="<u4", count=L,
@@ -1130,7 +1527,8 @@ def device_decode(payload: bytes, interpret: bool = False):
     stream2 = np.zeros((GROUPS, SROWS, 128), dtype=np.int32)
     stream2[:, :stream.shape[1], :] = stream
 
-    meta_d, len_d, counts_d = _decoder_call(TI, IT, SROWS, MROWS, interpret)(
+    meta_d, len_d, counts_d = _decoder_call(TI, IT, SROWS, MROWS, interpret,
+                                            rans)(
         jnp.asarray(warm), jnp.asarray(goff),
         jnp.asarray(lane_sz.reshape(GROUPS, 128).astype(np.int32)),
         jnp.asarray(stream2))
