@@ -383,7 +383,7 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             pl.BlockSpec((TI // 4, GROUPS, 128), lambda s: (s, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),
             pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),
         ],
@@ -690,7 +690,7 @@ def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
                          lambda s: (n_steps - 1 - s, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),
             pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),
         ],
@@ -1393,11 +1393,11 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),   # warm codes
             pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),   # initial offs
             pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),   # lane sizes
-            pl.BlockSpec(memory_space=pltpu.ANY),            # stream
+            pl.BlockSpec(memory_space=pl.ANY),            # stream
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # meta records
-            pl.BlockSpec(memory_space=pltpu.ANY),            # len records
+            pl.BlockSpec(memory_space=pl.ANY),            # meta records
+            pl.BlockSpec(memory_space=pl.ANY),            # len records
             pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),   # counts
         ],
         scratch_shapes=(
