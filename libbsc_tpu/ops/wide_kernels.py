@@ -1441,6 +1441,45 @@ def _decoder_call(TI: int, IT: int, SROWS: int, MROWS: int, interpret: bool,
     return _build_decode_kernel(TI, IT, SROWS, MROWS, interpret, rans)
 
 
+@functools.lru_cache(maxsize=32)
+def _prep_call(UT: int, SROWS: int, interpret: bool):
+    """Device prologue: segment the flat u16 unit stream into the decode
+    kernel's padded [GROUPS, SROWS, 128] layout and extract the per-lane
+    warm-up words — the last host prep pass of the wide decode moved
+    on-chip.  Only the exact payload units (2 B each) cross the tunnel;
+    the 2x-inflated padded i32 planes are built by vectorized gathers on
+    device."""
+    import jax
+    import jax.numpy as jnp
+
+    def prep(units, gunits, lane_sz):
+        # units: uint16[UT] concatenated group streams (padded tail);
+        # gunits: int32[GROUPS]; lane_sz: int32[GROUPS, 128]
+        u = units.astype(jnp.int32)
+        goffs = jnp.cumsum(gunits) - gunits            # [G]
+        local = jax.lax.broadcasted_iota(
+            jnp.int32, (GROUPS, SROWS * 128), 1)
+        idx = jnp.clip(goffs[:, None] + local, 0, UT - 1)
+        valid = local < gunits[:, None]
+        stream = jnp.where(valid, jnp.take(u, idx), 0)
+        stream = stream.reshape(GROUPS, SROWS, 128)
+        live = (lane_sz > 0).astype(jnp.int32)
+        pos = 2 * (jnp.cumsum(live, axis=1) - live)    # warm-pair offsets
+        w0 = jnp.take(u, jnp.clip(goffs[:, None] + pos, 0, UT - 1))
+        w1 = jnp.take(u, jnp.clip(goffs[:, None] + pos + 1, 0, UT - 1))
+        warm = jnp.where(
+            live == 1,
+            (w0.astype(jnp.uint32) << 16) | w1.astype(jnp.uint32),
+            jnp.uint32(0))
+        goff = jnp.broadcast_to(
+            (2 * jnp.sum(live, axis=1))[:, None],
+            (GROUPS, 128)).astype(jnp.int32)
+        return warm, goff, stream
+
+    del interpret  # plain jnp ops; same path under test and on device
+    return jax.jit(prep)
+
+
 @functools.lru_cache(maxsize=16)
 def _post_expand_call(R: int, gbpad: int, interpret: bool):
     """[G, R] records -> [G, gbpad] decoded bytes (tail beyond the group's
@@ -1484,32 +1523,11 @@ def device_decode(payload: bytes, interpret: bool = False):
         off += 4 * L
     else:
         lane_sz = np.asarray(W.lane_sizes(isize, L), dtype=np.int64)
-    gunits = np.frombuffer(payload, dtype="<u4", count=GROUPS, offset=off)
+    gunits = np.frombuffer(payload, dtype="<u4",
+                           count=GROUPS, offset=off).astype(np.int32)
     off += 4 * GROUPS
-    gstreams = []
-    for g in range(GROUPS):
-        gstreams.append(np.frombuffer(payload, dtype="<u2",
-                                      count=int(gunits[g]), offset=off))
-        off += 2 * int(gunits[g])
-
-    live = (lane_sz.reshape(GROUPS, 128) > 0)
-    warm = np.zeros((GROUPS, 128), dtype=np.uint32)
-    goff = np.zeros((GROUPS, 128), dtype=np.int32)
-    SROWS = 16
-    for g in range(GROUPS):
-        st = gstreams[g]
-        lg = live[g]
-        pos = 2 * (np.cumsum(lg) - lg)  # warm-pair offset per live lane
-        w0 = st[pos[lg]].astype(np.uint32)
-        w1 = st[pos[lg] + 1].astype(np.uint32)
-        warm[g][lg] = (w0 << 16) | w1
-        goff[g, :] = 2 * int(lg.sum())
-        SROWS = max(SROWS, -(-(len(st)) // 128) + 16)
-    SROWS = -(-SROWS // 8) * 8
-    stream = np.zeros((GROUPS, SROWS, 128), dtype=np.int32)
-    for g in range(GROUPS):
-        st = gstreams[g]
-        stream[g].reshape(-1)[: len(st)] = st
+    total = int(gunits.sum())
+    units = np.frombuffer(payload, dtype="<u2", count=total, offset=off)
 
     TI = 256
     IT = _it_bucket(max(max_bits, TI), TI)
@@ -1517,6 +1535,8 @@ def device_decode(payload: bytes, interpret: bool = False):
     MROWS = -(-(int(lane_sz.reshape(GROUPS, 128).sum(axis=1).max()) + 2048)
               // 128)
     MROWS = -(-MROWS // 8) * 8
+    SROWS = max(16, -(-int(gunits.max()) // 128) + 16)
+    SROWS = -(-SROWS // 8) * 8
     # bucket SROWS/MROWS to limit compiles
     def _b(x):
         b = 64
@@ -1524,14 +1544,22 @@ def device_decode(payload: bytes, interpret: bool = False):
             b *= 2
         return b
     SROWS, MROWS = _b(SROWS), _b(MROWS)
-    stream2 = np.zeros((GROUPS, SROWS, 128), dtype=np.int32)
-    stream2[:, :stream.shape[1], :] = stream
+    UT = _b(total + 2)  # +2: warm-pair/clip reads stay in range when a
+    #                       group is empty and indexes past its start
+    upad = np.zeros(UT, dtype=np.uint16)
+    upad[:total] = units
 
+    # Stream segmentation runs ON DEVICE (_prep_call): the exact u16
+    # payload units cross the tunnel once; the padded per-group planes and
+    # warm-up words are vectorized gathers on chip.
+    warm_d, goff_d, stream_d = _prep_call(UT, SROWS, interpret)(
+        jnp.asarray(upad), jnp.asarray(gunits),
+        jnp.asarray(lane_sz.reshape(GROUPS, 128).astype(np.int32)))
     meta_d, len_d, counts_d = _decoder_call(TI, IT, SROWS, MROWS, interpret,
                                             rans)(
-        jnp.asarray(warm), jnp.asarray(goff),
+        warm_d, goff_d,
         jnp.asarray(lane_sz.reshape(GROUPS, 128).astype(np.int32)),
-        jnp.asarray(stream2))
+        stream_d)
     counts = np.asarray(counts_d)[:, 0]
     used = int(-(-int(counts.max()) // 128)) + 8
 
