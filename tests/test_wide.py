@@ -219,7 +219,9 @@ def test_wide_device_kernel_parity_interpret(rng):
 
 def test_wide_device_decode_parity_interpret(rng):
     """The Pallas lockstep DECODER (interpret mode) must reproduce the
-    input bytes from a native-encoded payload."""
+    input bytes from a native-encoded payload.  n leaves 24 dead lanes
+    (lane_sizes gives 1000 live), so the on-device stream segmentation's
+    warm-word and plane masking for empty lanes is exercised too."""
     from libbsc_tpu.ops import wide_kernels
 
     n = 1024 * 36 + 123
