@@ -217,6 +217,49 @@ def test_wide_device_kernel_parity_interpret(rng):
     assert wide.wide_decode(dev) == d
 
 
+def test_wide_decode_prep_prologue_matches_host(rng):
+    """The on-device stream segmentation (_prep_call) must equal the host
+    formulation it replaced: padded per-group planes, warm-up words for
+    live lanes only, group offsets past the warm pairs.  Pure jnp on the
+    CPU backend — cheap, unlike the kernel interpret tests."""
+    from libbsc_tpu.ops.wide_kernels import GROUPS, _prep_call
+
+    g = np.random.default_rng(7)
+    lane_sz = g.integers(0, 50, size=(GROUPS, 128)).astype(np.int32)
+    lane_sz[2, :] = 0   # empty group
+    lane_sz[5, ::3] = 0  # dead lanes inside a live group
+    live_n = (lane_sz > 0).sum(axis=1).astype(np.int32)
+    # format invariant: each group stream opens with 2 warm units per live
+    # lane; give each group some extra payload units beyond that
+    gunits = (2 * live_n + g.integers(0, 80, size=GROUPS)).astype(np.int32)
+    gunits[2] = 0
+    total = int(gunits.sum())
+    units = g.integers(0, 1 << 16, size=total).astype(np.uint16)
+
+    SROWS = 16
+    UT = 1 << 12
+    upad = np.zeros(UT, dtype=np.uint16)
+    upad[:total] = units
+    warm_d, goff_d, stream_d = _prep_call(UT, SROWS, True)(
+        upad, gunits, lane_sz)
+
+    goffs = np.cumsum(gunits) - gunits
+    for gi in range(GROUPS):
+        st = units[goffs[gi]: goffs[gi] + gunits[gi]]
+        exp = np.zeros(SROWS * 128, dtype=np.int32)
+        exp[: len(st)] = st
+        assert np.array_equal(np.asarray(stream_d[gi]).reshape(-1), exp)
+        lg = lane_sz[gi] > 0
+        pos = 2 * (np.cumsum(lg) - lg)
+        warm = np.zeros(128, dtype=np.uint32)
+        if lg.any():
+            w0 = st[pos[lg]].astype(np.uint32)
+            w1 = st[pos[lg] + 1].astype(np.uint32)
+            warm[lg] = (w0 << 16) | w1
+        assert np.array_equal(np.asarray(warm_d[gi]), warm)
+        assert np.all(np.asarray(goff_d[gi]) == 2 * int(lg.sum()))
+
+
 def test_wide_device_decode_parity_interpret(rng):
     """The Pallas lockstep DECODER (interpret mode) must reproduce the
     input bytes from a native-encoded payload.  n leaves 24 dead lanes
