@@ -752,7 +752,10 @@ def _unbwt_wideaux_jit(T, index, aux, r: int, n: int):
         return ((w & jnp.uint32(0x1FFFFFF)).astype(jnp.int32),
                 (w >> 25).astype(jnp.uint8))
 
-    _, out = lax.scan(body, starts, None, length=r)
+    # unroll: at K ~ 8K chains the per-iteration while-loop overhead is
+    # comparable to the gather itself; 8 gathers per loop iteration cuts
+    # the loop-carried dispatch cost without changing results.
+    _, out = lax.scan(body, starts, None, length=r, unroll=8)
     return out.T.reshape(-1)[:n]
 
 
