@@ -734,16 +734,51 @@ def _rans_call(TI: int, IT: int, MAXROWS: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 def _it_bucket(max_bits: int, TI: int) -> int:
+    """Iteration-count bucket: ~1.25x geometric steps rounded up to a TI
+    multiple (the grid needs IT % TI == 0).  Power-of-two buckets wasted up
+    to 47% of the kernel iterations AND the plane transfer (the bench block's
+    max_bits 34856 rode a 65536-iteration program); IT is internal — the
+    payload stores exact max_bits and any IT >= max_bits decodes it — so
+    finer buckets only trade a few more one-time compiles."""
     it = TI
     while it < max_bits:
-        it *= 2
+        it = -(-(it * 5 // 4) // TI) * TI
     return it
 
 
-def device_encode(data: bytes, interpret: bool = False):
-    """Full wide-profile encode with the coder on device.  Returns the
-    payload bytes (bit-identical to native/wide.cc), or None when not
-    compressible / not applicable."""
+def host_schedule_packed(buf: np.ndarray, n: int, sizes_p, chunk: int):
+    """Native host walker with ADAPTIVE per-lane capacity.
+
+    The worst case is ~17 bits per byte but real post-BWT data runs
+    ~2-4, and the walker memsets its full [LANES, cap4] output row — a
+    worst-case cap costs >1 GB of pure zeroing (measured ~750 ms of the
+    round-3 e2e).  Start at 4 bits/byte-of-average-lane and double on
+    overflow (each retry is one ~300 ms walk; rare on compressible data).
+
+    Returns (pk [LANES, cap4] u8, max_bits); max_bits < 0 = not encodable.
+    Callers slicing pk[:, :IT//4] must np.pad when the bucketed IT
+    exceeds 4*cap4.
+    """
+    from .. import native as native_mod
+    from ..native import _u8p
+
+    lib = native_mod.load()
+    cap4 = max(1024, chunk)  # 4*cap4 bits/lane = 4 bits per average byte
+    hard = 17 * (16 * chunk) // 4 + 64
+    while True:
+        pk = np.zeros((LANES, cap4), dtype=np.uint8)
+        max_bits = lib.tbsc_wide_schedule_packed(_u8p(buf), n, LANES, cap4,
+                                                 _u8p(pk), sizes_p)
+        if max_bits >= 0 or cap4 >= hard:
+            return pk, max_bits
+        cap4 = min(cap4 * 4, hard)
+
+
+def _host_prep(data: bytes, interpret: bool = False):
+    """Host stage of the wide encode: lane balancing + schedule walk +
+    plane packing.  Returns (planes, sizes, max_bits, IT) where planes is
+    either a packed [IT//4, GROUPS, 128] u8 ndarray (host schedule) or a
+    device array (opt-in device schedule); None when not applicable."""
     import jax.numpy as jnp
 
     from .. import native as native_mod
@@ -775,13 +810,18 @@ def device_encode(data: bytes, interpret: bool = False):
         W.lane_sizes(n, LANES), np.int32)
 
     # schedule prep: per-lane PACKED bit stream (2-bit fields, 4 per byte —
-    # the kernel derives contexts itself).  Default: computed ON DEVICE
-    # from the raw bytes (ops/wide_schedule.py — the host does only the
-    # lane balancing pass and framing); TBSC_WIDE_HOST_SCHED=1 or any
-    # device-path failure falls back to the native walker.
+    # the kernel derives contexts itself).  Default: the NATIVE host walker
+    # (measured r4: 57 MB/s, and the packed planes are ~0.53x the raw bytes
+    # at ~2.1 bits/byte, so host scheduling also SHRINKS the H2D transfer).
+    # The on-device builder (ops/wide_schedule.py) pads every [lanes, C]
+    # intermediate to the LARGEST balanced lane — 262 KB vs the 16 KB mean
+    # on the bench block, a 16x inflation that measured 52 s of the 54.6 s
+    # round-3 e2e collapse (tools/wideprof.py) — so it is opt-in
+    # (TBSC_WIDE_DEV_SCHED=1) or the no-native fallback until it is
+    # reformulated on an event-indexed grid.
     planes_dev = None
     max_bits = -1
-    if not os.environ.get("TBSC_WIDE_HOST_SCHED"):
+    if os.environ.get("TBSC_WIDE_DEV_SCHED"):
         try:
             from . import wide_schedule
 
@@ -796,39 +836,107 @@ def device_encode(data: bytes, interpret: bool = False):
             planes_dev = None
             max_bits = -1
     if planes_dev is None:
-        cap = 17 * (16 * chunk) + 64  # worst-case bits/lane (balanced 16x)
-        cap4 = -(-cap // 4)
-        pk = np.zeros((LANES, cap4), dtype=np.uint8)
-        max_bits = lib.tbsc_wide_schedule_packed(_u8p(buf), n, LANES, cap4,
-                                                 _u8p(pk), sizes_p)
+        pk, max_bits = host_schedule_packed(buf, n, sizes_p, chunk)
         if max_bits < 0:
             return None
         IT = _it_bucket(max(max_bits, TI), TI)
-        planes_dev = jnp.asarray(np.ascontiguousarray(
+        if pk.shape[1] < IT // 4:
+            pk = np.pad(pk, ((0, 0), (0, IT // 4 - pk.shape[1])))
+        planes_dev = np.ascontiguousarray(
             pk[:, : IT // 4].reshape(GROUPS, 128, IT // 4)
-            .transpose(2, 0, 1)))
+            .transpose(2, 0, 1))
 
     IT = _it_bucket(max(max_bits, TI), TI)
-    MAXROWS = -(-((IT * 8) + 2048) // 1024) * 8  # per-group unit bound, tiles
+    return planes_dev, sizes, max_bits, IT
 
+
+def _submit(prep, interpret: bool = False):
+    """Device stage: H2D + model/coder kernel dispatch (async).  Returns
+    the in-flight device arrays + everything the collect stage needs."""
+    import jax.numpy as jnp
+
+    planes, sizes, max_bits, IT = prep
+    TI = 256
+    MAXROWS = -(-((IT * 8) + 2048) // 1024) * 8  # per-group unit bound
+    planes_dev = jnp.asarray(planes)
     if RANS:
         planes_p = _model_call(TI, IT, interpret)(planes_dev)
         units_d, counts_d, fx_d = _rans_call(TI, IT, MAXROWS, interpret)(
             planes_dev, planes_p)
-        counts = np.asarray(counts_d)[:, 0]
-        used_rows = int(-(-int(counts.max()) // 128)) + 8
-        units = np.asarray(units_d[:, :used_rows])
-        fx = np.asarray(fx_d)
-        return _assemble_rans(n, units, counts, fx, sizes, max_bits)
-
+        return True, (units_d, counts_d, fx_d), sizes, max_bits
     units_d, counts_d, flow_d = _coder_call(TI, IT, MAXROWS, interpret)(
         planes_dev)
+    return False, (units_d, counts_d, flow_d), sizes, max_bits
+
+
+def _collect(n: int, inflight):
+    """D2H + host assembly of one submitted block's payload."""
+    rans, (units_d, counts_d, tail_d), sizes, max_bits = inflight
     counts = np.asarray(counts_d)[:, 0]
     used_rows = int(-(-int(counts.max()) // 128)) + 8
     units = np.asarray(units_d[:, :used_rows])  # slim the D2H transfer
-    flow = np.asarray(flow_d)
+    tail = np.asarray(tail_d)
+    if rans:
+        return _assemble_rans(n, units, counts, tail, sizes, max_bits)
+    return _assemble(n, units, counts, tail, sizes, max_bits)
 
-    return _assemble(n, units, counts, flow, sizes, max_bits)
+
+def device_encode(data: bytes, interpret: bool = False):
+    """Full wide-profile encode with the coder on device.  Returns the
+    payload bytes (bit-identical to native/wide.cc), or None when not
+    compressible / not applicable."""
+    prep = _host_prep(data, interpret)
+    if prep is None or prep[2] < 0:
+        return None
+    return _collect(len(data), _submit(prep, interpret))
+
+
+def device_encode_many(datas, interpret: bool = False):
+    """Pipelined wide encode of several blocks: a prep thread runs the
+    host scheduler of block i+1 while block i's kernels execute on the
+    chip, and block i-1's D2H + assembly happens while i computes — the
+    TPU-shaped counterpart of the reference's stream-overlapped device
+    stages (st.cu:372-387 issues async copies on a CUDA stream).  Returns
+    a list of payloads (None where a block is not encodable)."""
+    import queue
+    import threading
+
+    results: list = [None] * len(datas)
+    prep_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def prep_worker():
+        for i, data in enumerate(datas):
+            try:
+                prep_q.put((i, _host_prep(data, interpret)))
+            except Exception:
+                prep_q.put((i, None))
+        prep_q.put(None)
+
+    t = threading.Thread(target=prep_worker, daemon=True)
+    t.start()
+    pending = None  # (index, inflight)
+    try:
+        while True:
+            item = prep_q.get()
+            if item is None:
+                break
+            i, prep = item
+            # collect BEFORE submitting the next block: the device queue is
+            # in-order, so a D2H requested after block i's kernels would
+            # wait for them — the overlap this pipeline buys is the host
+            # scheduler (prep thread) running during device compute.
+            if pending is not None:
+                pi, pf = pending
+                results[pi] = _collect(len(datas[pi]), pf)
+                pending = None
+            if prep is not None and prep[2] >= 0:
+                pending = (i, _submit(prep, interpret))
+        if pending is not None:
+            pi, pf = pending
+            results[pi] = _collect(len(datas[pi]), pf)
+    finally:
+        t.join()
+    return results
 
 
 def _assemble_rans(n: int, units: np.ndarray, counts: np.ndarray,
