@@ -59,6 +59,31 @@ class Params:
         return f
 
 
+def farm_policy(n_threads: int, n_blocks: int):
+    """The reference's adaptive nested-parallelism policy (bsc.cpp:184-190):
+    with parallel processing on, numThreads = omp_get_max_threads(); when
+    threads <= blocks, per-block (inner) multithreading is DISABLED — each
+    thread owns whole blocks; and the farm never runs more workers than
+    blocks.  Returns (workers, inner_mt)."""
+    inner_mt = n_threads > max(n_blocks, 0)
+    workers = max(1, min(n_threads, max(n_blocks, 1)))
+    return workers, inner_mt
+
+
+def _apply_farm_policy(p: Params, n_blocks: int):
+    """Params adjusted per `farm_policy` (a shallow copy when inner
+    multithreading must be turned off; the original otherwise)."""
+    if not p.parallel:
+        return p, 1
+    workers, inner_mt = farm_policy(os.cpu_count() or 1, n_blocks)
+    if p.multithreading and not inner_mt:
+        q = Params.__new__(Params)
+        q.__dict__.update(p.__dict__)
+        q.multithreading = False
+        return q, workers
+    return p, workers
+
+
 def _compress_one(p: Params, data: bytes):
     """Apply filters + compress one block; returns (record_size, contexts, blob)."""
     from . import engine
@@ -104,11 +129,12 @@ def _compress_one(p: Params, data: bytes):
 
 
 def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
-    api.init(p.features())
     t0 = time.time()
     in_size = os.path.getsize(inp)
     block_size = min(p.block_size, in_size) if in_size > 0 else p.block_size
     n_blocks = (in_size + block_size - 1) // block_size if block_size > 0 else 0
+    p, farm_workers = _apply_farm_policy(p, n_blocks)
+    api.init(p.features())
 
     with open(inp, "rb") as f, open(outp, "wb") as out:
         out.write(FILE_SIGN)
@@ -234,9 +260,7 @@ def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
             if errors:
                 raise errors[0]
         else:
-            workers = (os.cpu_count() or 1) if p.parallel else 1
-
-            with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
+            with ThreadPoolExecutor(max_workers=farm_workers) as ex:
                 for offset, rs, ctx, blob in ex.map(job, read_blocks()):
                     emit(offset, rs, ctx, blob)
         if not quiet:
@@ -249,7 +273,6 @@ def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
 
 
 def decompress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
-    api.init(p.features())
     t0 = time.time()
     in_size = os.path.getsize(inp)
 
@@ -259,6 +282,8 @@ def decompress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None
             print("This is not a valid bsc archive!", file=sys.stderr)
             sys.exit(1)
         (n_blocks,) = struct.unpack("<i", f.read(4))
+        p, farm_workers = _apply_farm_policy(p, n_blocks)
+        api.init(p.features())
 
         def read_jobs():
             # Reads until EOF like the reference (bsc.cpp:507-520): nBlocks is
@@ -296,8 +321,7 @@ def decompress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None
             return offset, data
 
         total = 0
-        workers = (os.cpu_count() or 1) if p.parallel else 1
-        with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
+        with ThreadPoolExecutor(max_workers=farm_workers) as ex:
             for b, (offset, data) in enumerate(ex.map(job, read_jobs())):
                 if not quiet and n_blocks > 0:
                     print(f"\rDecompressing {inp}({100 * b // n_blocks:02d}%)",
@@ -340,7 +364,12 @@ Options may be combined into one, like -b128p -m5e1
 
 
 def parse_args(argv):
-    if len(argv) < 4 or argv[1] not in ("e", "d"):
+    # Decompression-only profile (the reference's BSC_DECOMPRESSION_ONLY
+    # compile flag, bsc.cpp:687-695,891): with TBSC_DECOMPRESSION_ONLY set,
+    # the `e` command is not offered — it falls through to usage exactly
+    # like the reference's #ifdef'd-out case label.
+    modes = ("d",) if os.environ.get("TBSC_DECOMPRESSION_ONLY") else ("e", "d")
+    if len(argv) < 4 or argv[1] not in modes:
         print(USAGE)
         sys.exit(0)
     p = Params()

@@ -270,3 +270,72 @@ def test_cli_wide_profile_roundtrip(tmp_path, rng):
     assert run_cli(["e", str(inp), str(arch), "-e4"]).returncode == 0
     assert run_cli(["d", str(arch), str(out)]).returncode == 0
     assert out.read_bytes() == data
+
+
+def test_farm_policy_matches_reference():
+    """The adaptive nested-parallelism policy (bsc.cpp:184-190): inner
+    (per-block) multithreading is on only when threads > blocks, and the
+    farm never runs more workers than blocks."""
+    from libbsc_tpu.cli import farm_policy
+
+    # threads <= blocks: inner MT off, workers capped at thread count
+    assert farm_policy(4, 4) == (4, False)
+    assert farm_policy(4, 100) == (4, False)
+    assert farm_policy(1, 1) == (1, False)
+    # threads > blocks: inner MT on, workers capped at block count
+    assert farm_policy(8, 3) == (3, True)
+    assert farm_policy(8, 1) == (1, True)
+    # degenerate empty input behaves like one block
+    assert farm_policy(8, 0) == (1, True)
+
+
+def test_apply_farm_policy_mocked_cores(monkeypatch):
+    """With a mocked core count, _apply_farm_policy strips the
+    multithreading feature exactly when the reference would disable
+    paramEnableMultiThreading."""
+    import libbsc_tpu.cli as cli
+    from libbsc_tpu import constants as C
+
+    monkeypatch.setattr(cli.os, "cpu_count", lambda: 4)
+    p = cli.Params()
+    p.parallel = True
+    p.multithreading = True
+
+    q, workers = cli._apply_farm_policy(p, 16)  # blocks >= threads
+    assert workers == 4
+    assert not q.multithreading
+    assert not (q.features() & C.FEATURE_MULTITHREADING)
+    assert p.multithreading  # original untouched
+
+    q2, workers2 = cli._apply_farm_policy(p, 2)  # threads > blocks
+    assert workers2 == 2
+    assert q2.multithreading
+    assert q2 is p
+
+    p.parallel = False
+    q3, workers3 = cli._apply_farm_policy(p, 16)
+    assert (q3, workers3) == (p, 1)
+
+
+def test_decompression_only_profile(tmp_path, rng):
+    """TBSC_DECOMPRESSION_ONLY (the reference's BSC_DECOMPRESSION_ONLY
+    build profile, bsc.cpp:891): `e` is not offered, `d` still works."""
+    data = make_corpus(rng, 100000, "text")
+    inp = tmp_path / "in"
+    inp.write_bytes(data)
+    arch = tmp_path / "a.bsc"
+    out = tmp_path / "out"
+    assert run_cli(["e", str(inp), str(arch), "-b1"]).returncode == 0
+
+    env = dict(os.environ, PYTHONPATH=str(REPO), TBSC_DECOMPRESSION_ONLY="1")
+
+    def run(args):
+        return subprocess.run(
+            [sys.executable, "-m", "libbsc_tpu.cli"] + args,
+            capture_output=True, text=True, env=env)
+
+    r = run(["e", str(inp), str(arch)])
+    assert "Usage" in r.stdout  # e falls through to usage
+    r = run(["d", str(arch), str(out)])
+    assert r.returncode == 0
+    assert out.read_bytes() == data
