@@ -182,7 +182,11 @@ int qlfc_init() {
 // the same output.
 // ---------------------------------------------------------------------------
 
-static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
+// `rl` (same indexing as the rank bytes in `buffer`) receives each run's
+// length saturated to 255; the coding loops re-derive >=255 runs with one
+// skip_run probe.  Recording lengths here removes the per-run byte re-scan
+// (and its data-dependent exit branch) from the serial coding loops.
+static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf, u8* rl) {
   u8 seen[256];
   std::memset(seen, 0, sizeof seen);
   for (int i = 0; i < 256; ++i) mtf[i] = (u8)i;
@@ -200,23 +204,33 @@ static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
   alignas(32) u8 rank_of[256];
   for (int i = 0; i < 256; ++i) rank_of[i] = (u8)i;
   if (input[n - 1] == 0) { rank_of[0] = 1; rank_of[1] = 0; }
+  // Current rank-0 holder.  Consecutive runs differ in symbol, so every
+  // emitted rank is >= 1; for the (dominant) rank==1 case the masked
+  // 256-lane increment below touches exactly one entry — this one.
+  u8 sym0 = input[n - 1] == 0 ? 1 : 0;
   const __m256i bias = _mm256_set1_epi8((char)0x80);
-  auto emit_run = [&](u8 c) {
+  auto emit_run = [&](u8 c, int len) {
     int rank = rank_of[c];
-    const __m256i rv = _mm256_set1_epi8((char)(rank ^ 0x80));
-    for (int g = 0; g < 256; g += 32) {
-      __m256i v = _mm256_load_si256((const __m256i*)(rank_of + g));
-      __m256i lt = _mm256_cmpgt_epi8(rv, _mm256_xor_si256(v, bias));
-      _mm256_store_si256((__m256i*)(rank_of + g), _mm256_sub_epi8(v, lt));
+    if (rank == 1) {
+      rank_of[sym0] = 1;
+    } else {
+      const __m256i rv = _mm256_set1_epi8((char)(rank ^ 0x80));
+      for (int g = 0; g < 256; g += 32) {
+        __m256i v = _mm256_load_si256((const __m256i*)(rank_of + g));
+        __m256i lt = _mm256_cmpgt_epi8(rv, _mm256_xor_si256(v, bias));
+        _mm256_store_si256((__m256i*)(rank_of + g), _mm256_sub_epi8(v, lt));
+      }
     }
     rank_of[c] = 0;
+    sym0 = c;
     if (!seen[c]) { seen[c] = 1; rank = n_sym++; }
     buffer[--idx] = (u8)rank;
+    rl[idx] = len < 255 ? (u8)len : (u8)255;
   };
 #else
   // move-to-front walk for one run's symbol; emits the rank (appearance
   // index on first occurrence)
-  auto emit_run = [&](u8 c) {
+  auto emit_run = [&](u8 c, int len) {
     u8 prev = mtf[0];
     int rank = 1;
     mtf[0] = c;
@@ -229,6 +243,7 @@ static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
     }
     if (!seen[c]) { seen[c] = 1; rank = n_sym++; }
     buffer[--idx] = (u8)rank;
+    rl[idx] = len < 255 ? (u8)len : (u8)255;
   };
 #endif
 
@@ -269,21 +284,21 @@ static int rank_transform(const u8* input, u8* buffer, int n, u8* mtf) {
     // consume runs of this chunk back-to-front; the run starting at lo may
     // continue into the previous chunk — defer it unless lo == 0
     for (int r = nh - 1; r >= 0; --r) {
-      emit_run(input[heads[r]]);
+      emit_run(input[heads[r]], heads[r + 1] - heads[r]);
     }
+    int first_head = nh > 0 ? heads[0] : i + 1;
     if (lo == 0) {
       // head of the whole buffer: the run starting at 0
-      emit_run(input[0]);
+      emit_run(input[0], first_head);
       break;
     }
     // continue with the tail of the run crossing the chunk boundary
-    int first_head = nh > 0 ? heads[0] : i + 1;
     i = first_head - 1;
     u8 c = input[i];
     while (i >= 0 && input[i] == c) --i;
     // i now sits on the last position of the previous run (or -1); the
     // crossing run [i+1, first_head) is one run with symbol c
-    emit_run(c);
+    emit_run(c, first_head - (i + 1));
   }
   buffer[n - 1] = 1;
 
@@ -426,32 +441,49 @@ template <bool ADAPTIVE>
 static int cm_encode(const u8* input, u8* output, u8* buffer, int isize, int osize, M1* m) {
   const Fam& F = ADAPTIVE ? kAdaptive : kStatic;
   u8 mtf[256];
+#ifdef TBSC_QLFC_PROF
+  struct timespec ts0, tsA, ts1, ts2;
+  clock_gettime(CLOCK_MONOTONIC, &ts0);
+#endif
   std::memcpy(m, g_m1_pristine, sizeof(M1));
+#ifdef TBSC_QLFC_PROF
+  clock_gettime(CLOCK_MONOTONIC, &tsA);
+#endif
 
   int ctx_rank0 = 0, ctx_rank4 = 0, ctx_run = 0, avg_rank = 0;
   u8 rank_hist[256], run_hist[256];
   std::memset(rank_hist, 0, sizeof rank_hist);
   std::memset(run_hist, 0, sizeof run_hist);
 
-  int rank_off = rank_transform(input, buffer, isize, mtf);
+  u8* rl = buffer + isize;  // run lengths (saturated), same indexing as ranks
+  int rank_off = rank_transform(input, buffer, isize, mtf, rl);
+#ifdef TBSC_QLFC_PROF
+  clock_gettime(CLOCK_MONOTONIC, &ts1);
+#endif
 
   RcEncoder rc;
   rc.init(output, osize);
   rc.encode_word((u32)isize);
   int max_rank = encode_alphabet<12, 2048>(rc, mtf, true);
+#ifdef TBSC_QLFC_PROF
+  struct timespec tsB;
+  clock_gettime(CLOCK_MONOTONIC, &tsB);
+#endif
 
   const u8* in = input;
   const u8* in_end = input + isize;
   const u8* rk = buffer + rank_off;
   const u8* rk_end = buffer + isize;
+  const u8* rlq = rl + rank_off;
 
   while (rk < rk_end) {
     if (rc.overflow()) return TBSC_NOT_COMPRESSIBLE;
 
     int c = *in;
-    const u8* run_start = in++;
-    in = skip_run(in, in_end, (u8)c);
-    int run = (int)(in - run_start);
+    int run = *rlq++;
+    if (__builtin_expect(run == 255, 0))
+      run = (int)(skip_run(in + 255, in_end, (u8)c) - in);
+    in += run;
 
     int rank = *rk++;
     int hist = rank_hist[c];
@@ -567,6 +599,14 @@ static int cm_encode(const u8* input, u8* output, u8* buffer, int isize, int osi
     ctx_run = ((ctx_run << 1) | (run < 3 ? 1 : 0)) & 0xf;
   }
 
+#ifdef TBSC_QLFC_PROF
+  clock_gettime(CLOCK_MONOTONIC, &ts2);
+  fprintf(stderr, "[cmenc] reset %.4f  transform %.4f  alpha %.4f  loop %.4f\n",
+          (tsA.tv_sec - ts0.tv_sec) + 1e-9 * (tsA.tv_nsec - ts0.tv_nsec),
+          (ts1.tv_sec - tsA.tv_sec) + 1e-9 * (ts1.tv_nsec - tsA.tv_nsec),
+          (tsB.tv_sec - ts1.tv_sec) + 1e-9 * (tsB.tv_nsec - ts1.tv_nsec),
+          (ts2.tv_sec - tsB.tv_sec) + 1e-9 * (ts2.tv_nsec - tsB.tv_nsec));
+#endif
   return rc.finish();
 }
 
@@ -702,7 +742,8 @@ static int fast_encode(const u8* input, u8* output, u8* buffer, int isize, int o
 #endif
   std::memcpy(m, g_m2_pristine, sizeof(M2));
 
-  int rank_off = rank_transform(input, buffer, isize, mtf);
+  u8* rl = buffer + isize;  // run lengths (saturated), same indexing as ranks
+  int rank_off = rank_transform(input, buffer, isize, mtf, rl);
 #ifdef TBSC_QLFC_PROF
   clock_gettime(CLOCK_MONOTONIC, &ts1);
 #endif
@@ -716,15 +757,17 @@ static int fast_encode(const u8* input, u8* output, u8* buffer, int isize, int o
   const u8* in_end = input + isize;
   const u8* rk = buffer + rank_off;
   const u8* rk_end = buffer + isize;
+  const u8* rlq = rl + rank_off;
 
   while (rk < rk_end) {
     if (rc.overflow()) return TBSC_NOT_COMPRESSIBLE;
 
     u32 rank = *rk++;
     u32 c = *in;
-    const u8* run_start = in++;
-    in = skip_run(in, in_end, (u8)c);
-    u32 run = (u32)(in - run_start);
+    u32 run = *rlq++;
+    if (__builtin_expect(run == 255, 0))
+      run = (u32)(skip_run(in + 255, in_end, (u8)c) - in);
+    in += run;
 
     {
       int16_t* pr = m->rank_exp[c];
@@ -898,46 +941,59 @@ static int fast_decode(const u8* input, u8* output, M2* m) {
 }
 
 // ---------------------------------------------------------------------------
-// Block entry points (model + scratch allocation per call)
+// Block entry points.  Scratch (rank+runlen buffer, model) is cached per
+// thread: the sub-block farm calls these entry points hundreds of times per
+// block, and a fresh malloc of a multi-MB model each call re-pays page
+// faults that the memcpy-from-pristine reset then touches anyway.
 // ---------------------------------------------------------------------------
+
+namespace {
+struct Scratch {
+  u8* buf = nullptr;
+  size_t cap = 0;
+  M1* m1 = nullptr;
+  M2* m2 = nullptr;
+  ~Scratch() { free(buf); free(m1); free(m2); }
+  u8* buffer(size_t bytes) {
+    if (cap < bytes) {
+      free(buf);
+      buf = (u8*)malloc(bytes);
+      cap = buf ? bytes : 0;
+    }
+    return buf;
+  }
+};
+thread_local Scratch g_scratch;
+}  // namespace
 
 int qlfc_encode_block(const u8* input, u8* output, int isize, int osize, int kind) {
   if (qlfc_init() != 0) return -2;
-  u8* buffer = (u8*)malloc((size_t)isize);
+  Scratch& s = g_scratch;
+  u8* buffer = s.buffer(2 * (size_t)isize);  // ranks + run lengths
   if (!buffer) return -2;
-  int result = -1;
   if (kind == 3) {
-    M2* m = (M2*)malloc(sizeof(M2));
-    if (m) { result = fast_encode(input, output, buffer, isize, osize, m); free(m); }
-    else result = -2;
-  } else {
-    M1* m = (M1*)malloc(sizeof(M1));
-    if (m) {
-      result = (kind == 2) ? cm_encode<true>(input, output, buffer, isize, osize, m)
-                           : cm_encode<false>(input, output, buffer, isize, osize, m);
-      free(m);
-    } else result = -2;
+    if (!s.m2) s.m2 = (M2*)malloc(sizeof(M2));
+    if (!s.m2) return -2;
+    return fast_encode(input, output, buffer, isize, osize, s.m2);
   }
-  free(buffer);
-  return result;
+  if (!s.m1) s.m1 = (M1*)malloc(sizeof(M1));
+  if (!s.m1) return -2;
+  return (kind == 2) ? cm_encode<true>(input, output, buffer, isize, osize, s.m1)
+                     : cm_encode<false>(input, output, buffer, isize, osize, s.m1);
 }
 
 int qlfc_decode_block(const u8* input, u8* output, int kind) {
   if (qlfc_init() != 0) return -2;
-  int result = -1;
+  Scratch& s = g_scratch;
   if (kind == 3) {
-    M2* m = (M2*)malloc(sizeof(M2));
-    if (m) { result = fast_decode(input, output, m); free(m); }
-    else result = -2;
-  } else {
-    M1* m = (M1*)malloc(sizeof(M1));
-    if (m) {
-      result = (kind == 2) ? cm_decode<true>(input, output, m)
-                           : cm_decode<false>(input, output, m);
-      free(m);
-    } else result = -2;
+    if (!s.m2) s.m2 = (M2*)malloc(sizeof(M2));
+    if (!s.m2) return -2;
+    return fast_decode(input, output, s.m2);
   }
-  return result;
+  if (!s.m1) s.m1 = (M1*)malloc(sizeof(M1));
+  if (!s.m1) return -2;
+  return (kind == 2) ? cm_decode<true>(input, output, s.m1)
+                     : cm_decode<false>(input, output, s.m1);
 }
 
 }  // namespace tbsc
