@@ -585,15 +585,16 @@ def suffix_array_dc3(data: jax.Array):
 
 
 def bwt_encode_dc3(data: jax.Array):
-    """Forward BWT via the DC3 sample-doubling suffix sort."""
+    """Forward BWT via the DC3 sample-doubling suffix sort.
+
+    Two jit calls on purpose: fusing _dc3_rank_jit + _extract_bwt into one
+    program makes XLA:TPU pad an HLO temp to 10.67 GB at 1.2% utilization
+    (OOM on a 16 GB v5e at 16 MB input, measured 2026-08-19), while the
+    same pieces run fine as separate programs (0.995 s + 0.065 s).
+    """
     n = int(data.shape[0])
     if n < 64:
         return bwt_encode(data)
-    return _bwt_encode_dc3_jit(data)
-
-
-@jax.jit
-def _bwt_encode_dc3_jit(data: jax.Array):
     rank = _dc3_rank_jit(data)
     return _extract_bwt(data, rank)
 

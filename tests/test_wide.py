@@ -200,6 +200,14 @@ def test_wide_ratio_cost_bench_scale(rng):
     assert len(p) < 1.10 * len(static)
     assert wide.wide_decode(p) == data.tobytes()
 
+    # 1024 lanes (the kernel's full-parallelism point): the round-3
+    # exhaustive model search bounds the v3 floor at ~1.13x — per-lane
+    # warm-up for 1024 cold models (docs/WIDE_PROFILE.md); pin it so the
+    # wave warm-start (round-5 design) shows up as an improvement here.
+    p1024 = wide.wide_encode(data.tobytes(), n_lanes=1024, rans=True)
+    assert p1024 is not None
+    assert len(p1024) < 1.13 * len(static)
+
 
 def test_wide_device_kernel_parity_interpret(rng):
     """The Pallas lockstep coder (interpret mode) must produce the exact

@@ -68,7 +68,7 @@ def main():
     t_ext, _ = bench("extract (U + primary + aux)", ext, data, rank)
 
     t_e2e, _ = bench("bwt_encode e2e", ob._bwt_encode_jit, data)
-    t_e2e_dc3, _ = bench("bwt_encode_dc3 e2e", ob._bwt_encode_dc3_jit, data)
+    t_e2e_dc3, _ = bench("bwt_encode_dc3 e2e", ob.bwt_encode_dc3, data)
 
     assert np.array_equal(np.asarray(rank), np.asarray(rank_dc3))
     print(f"\nrates: direct {n / 1e6 / t_e2e:6.1f} MB/s   "
