@@ -697,8 +697,8 @@ def _bwt_decode_jit(U: jax.Array, index: jax.Array):
 # Wide-aux inverse BWT: thousands of parallel forward-PSI chains
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("r", "n"))
-def _unbwt_wideaux_jit(T, index, aux, r: int, n: int):
+@partial(jax.jit, static_argnames=("r", "n", "unroll"))
+def _unbwt_wideaux_jit(T, index, aux, r: int, n: int, unroll: int = 8):
     """Device inverse BWT for the wide-aux profile (SURVEY §5's scaled
     aux-index design: sampling rate r ~ n/4096+ gives num_indexes+1
     independent forward chains, chased in lockstep as one vectorized
@@ -754,9 +754,10 @@ def _unbwt_wideaux_jit(T, index, aux, r: int, n: int):
                 (w >> 25).astype(jnp.uint8))
 
     # unroll: at K ~ 8K chains the per-iteration while-loop overhead is
-    # comparable to the gather itself; 8 gathers per loop iteration cuts
-    # the loop-carried dispatch cost without changing results.
-    _, out = lax.scan(body, starts, None, length=r, unroll=8)
+    # comparable to the gather itself; several gathers per loop iteration
+    # cut the loop-carried dispatch cost without changing results
+    # (default 8; sweep via TBSC_WIDEAUX_UNROLL / tools/wideauxsweep.py).
+    _, out = lax.scan(body, starts, None, length=r, unroll=unroll)
     return out.T.reshape(-1)[:n]
 
 
@@ -768,10 +769,13 @@ def unbwt_wideaux_device(data, index: int, indexes, r: int):
 
     if not any(d.platform != "cpu" for d in jax.devices()):
         return None
+    import os
+
     n = int(len(data))
+    unroll = int(os.environ.get("TBSC_WIDEAUX_UNROLL", "8"))
     out = _unbwt_wideaux_jit(
         jnp.asarray(np.asarray(data, dtype=np.uint8)),
         jnp.int32(index),
         jnp.asarray(np.asarray(indexes, dtype=np.int32)),
-        r, n)
+        r, n, unroll)
     return np.asarray(out)
