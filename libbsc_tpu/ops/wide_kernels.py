@@ -1588,11 +1588,18 @@ def _prep_call(UT: int, SROWS: int, interpret: bool):
     return jax.jit(prep)
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=64)
 def _post_expand_call(R: int, gbpad: int, interpret: bool):
-    """[G, R] records -> [G, gbpad] decoded bytes (tail beyond the group's
-    byte count is padding).  Stable sort by lane keeps each lane's records
-    in emission order; jnp.repeat expands runs in place."""
+    """[R] records of ONE group -> [gbpad] decoded bytes (tail beyond the
+    group's byte count is padding).  Stable sort by lane keeps each lane's
+    records in emission order; jnp.repeat expands runs in place.
+
+    Per-group (not vmapped): lanes are bit-balanced, so group BYTE sizes
+    skew up to ~3x and a uniform [G, GBpad] plane pads every group to the
+    largest — measured 49.3 MB of D2H + 707 ms of repeat for 16.7 MB of
+    output.  Sizing R/gbpad per group keeps both proportional to the
+    group's actual records/bytes (geometric buckets bound the program
+    count)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -1609,7 +1616,7 @@ def _post_expand_call(R: int, gbpad: int, interpret: bool):
                           total_repeat_length=gbpad)
 
     del interpret  # plain jnp ops; same path under test and on device
-    return jax.jit(jax.vmap(one_group))
+    return jax.jit(one_group)
 
 
 def device_decode(payload: bytes, interpret: bool = False):
@@ -1669,29 +1676,35 @@ def device_decode(payload: bytes, interpret: bool = False):
         jnp.asarray(lane_sz.reshape(GROUPS, 128).astype(np.int32)),
         stream_d)
     counts = np.asarray(counts_d)[:, 0]
-    used = int(-(-int(counts.max()) // 128)) + 8
 
     # Expand records into bytes ON DEVICE: a group's lanes occupy one
     # contiguous span of the output (lane regions ascend globally), and the
     # kernel emits each lane's records in stream order — so a stable sort of
     # the records by lane followed by run-length expansion IS the group's
     # output span.  Only decoded bytes cross the tunnel, not the (much
-    # larger) record arrays.
-    R = 128
-    while R < used * 128 and R < meta_d.shape[1] * 128:
-        R *= 2
-    R = min(R, meta_d.shape[1] * 128)
+    # larger) record arrays.  Both the record capacity R and the byte pad
+    # are sized PER GROUP (geometric 1.25x buckets): lanes are
+    # bit-balanced, so group byte sizes skew ~3x and any uniform pad
+    # multiplies the repeat work and the D2H by that skew.
     gb = lane_sz.reshape(GROUPS, 128).sum(axis=1).astype(np.int64)
-    # geometric 1.25x pad steps: D2H ships GROUPS*GBpad bytes, so a 2x
-    # bucket would nearly double the transfer for nothing
-    GBpad = 1 << 10
-    while GBpad < int(gb.max()):
-        GBpad = (GBpad * 5 + 3) // 4
     import jax.numpy as _jnp
 
-    outs = _post_expand_call(R, GBpad, interpret)(
-        meta_d[:, : R // 128, :].reshape(GROUPS, R),
-        len_d[:, : R // 128, :].reshape(GROUPS, R),
-        _jnp.asarray(counts.astype(np.int32)))
-    res = np.asarray(outs)
-    return b"".join(res[g, : gb[g]].tobytes() for g in range(GROUPS))
+    def _bucket(x: int, lo: int, step: int = 128) -> int:
+        b = lo
+        while b < x:
+            b = -(-(b * 5 + 3) // 4 // step) * step
+        return b
+
+    Rcap = meta_d.shape[1] * 128
+    parts = []
+    for g in range(GROUPS):
+        used_g = (int(counts[g]) // 128 + 9) * 128
+        R = min(_bucket(used_g, 2048), Rcap)
+        GBpad = _bucket(int(gb[g]), 1 << 10, step=1)
+        out_g = _post_expand_call(R, GBpad, interpret)(
+            meta_d[g, : R // 128, :].reshape(R),
+            len_d[g, : R // 128, :].reshape(R),
+            _jnp.int32(int(counts[g])))
+        parts.append(out_g)
+    return b"".join(np.asarray(p)[: gb[g]].tobytes()
+                    for g, p in enumerate(parts))
