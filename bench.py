@@ -499,6 +499,7 @@ def measure_wide(data: bytes):
         # if this bench run has already burned its budget so the headline
         # numbers always land.
         dec_best = None
+        dec_sustained = None
         if _t.time() - _BENCH_T0 < 1500:
             back = wide_kernels.device_decode(payload)  # warm-up (compile)
             assert back == db
@@ -507,6 +508,20 @@ def measure_wide(data: bytes):
                 t0 = _t.time()
                 back = wide_kernels.device_decode(payload)
                 dec_best = min(dec_best, _t.time() - t0)
+            # sustained: 3 payloads through device_decode_many (block i+1
+            # submitted before block i's count sync — chip runs kernels
+            # back-to-back while the host feeds and drains)
+            try:  # needs the encode-sustained payloads (NameError if not)
+                assert outs and all(outs)
+                backs = wide_kernels.device_decode_many(outs)  # warm
+                assert all(bk == b for bk, b in zip(backs, blks))
+                t0 = _t.time()
+                backs = wide_kernels.device_decode_many(outs)
+                dt = _t.time() - t0
+                dec_sustained = round(
+                    sum(len(b) for b in blks) / 1e6 / dt, 1)
+            except Exception:
+                dec_sustained = None
 
         # kernel-only timing (cached arrays)
         lib = native_mod.load()
@@ -575,6 +590,8 @@ def measure_wide(data: bytes):
             res["sustained_pipelined_mbs"] = sustained
         if dec_best is not None:
             res["decode_e2e_mbs"] = round(n / 1e6 / dec_best, 1)
+        if dec_sustained is not None:
+            res["decode_sustained_mbs"] = dec_sustained
         if wideaux is not None:
             res["wideaux"] = wideaux
         return res

@@ -1619,18 +1619,23 @@ def _post_expand_call(R: int, gbpad: int, interpret: bool):
     return jax.jit(one_group)
 
 
-def device_decode(payload: bytes, interpret: bool = False):
-    """Wide-profile decode with the lockstep state machine on device.
-    Returns the decoded bytes, or None when not applicable (falls back to
-    the host codec)."""
-    import struct
+def _geom_bucket(x: int, lo: int, step: int = 128) -> int:
+    """Geometric 1.25x size ladder rounded to `step` (deterministic, so
+    jit program shapes repeat across payloads and persist in the cache)."""
+    b = lo
+    while b < x:
+        b = -(-(b * 5 + 3) // 4 // step) * step
+    return b
 
-    import jax.numpy as jnp
+
+def _dec_parse(payload: bytes):
+    """Host-side header/stream parse for the device decode.  Returns the
+    parsed dict, or None when the payload is not kernel-decodable."""
+    import struct
 
     isize, L, flags, max_bits = struct.unpack_from("<IHHI", payload, 0)
     if L != LANES or max_bits == 0:
         return None
-    rans = bool(flags & 4)  # v3 coder (binary rANS lanes)
     off = 12
     if flags & 1:
         lane_sz = np.frombuffer(payload, dtype="<u4", count=L,
@@ -1659,52 +1664,97 @@ def device_decode(payload: bytes, interpret: bool = False):
             b *= 2
         return b
     SROWS, MROWS = _b(SROWS), _b(MROWS)
-    UT = _b(total + 2)  # +2: warm-pair/clip reads stay in range when a
-    #                       group is empty and indexes past its start
+    # UT sizes the H2D transfer itself, so it gets the finer 1.25x ladder
+    # (a pow2 bucket shipped up to 2x the payload over the tunnel).
+    # +2: warm-pair/clip reads stay in range when a group is empty and
+    # indexes past its start.
+    UT = max(1 << 16, _geom_bucket(total + 2, 1 << 16))
     upad = np.zeros(UT, dtype=np.uint16)
     upad[:total] = units
+    return {"rans": bool(flags & 4), "lane_sz": lane_sz, "gunits": gunits,
+            "upad": upad, "TI": TI, "IT": IT, "SROWS": SROWS,
+            "MROWS": MROWS, "UT": UT}
 
+
+def _dec_submit(p: dict, interpret: bool):
+    """Queue the prep prologue + decoder kernel for a parsed payload and
+    return the in-flight state (no host sync happens here)."""
+    import jax.numpy as jnp
+
+    lane32 = jnp.asarray(p["lane_sz"].reshape(GROUPS, 128).astype(np.int32))
     # Stream segmentation runs ON DEVICE (_prep_call): the exact u16
     # payload units cross the tunnel once; the padded per-group planes and
     # warm-up words are vectorized gathers on chip.
-    warm_d, goff_d, stream_d = _prep_call(UT, SROWS, interpret)(
-        jnp.asarray(upad), jnp.asarray(gunits),
-        jnp.asarray(lane_sz.reshape(GROUPS, 128).astype(np.int32)))
-    meta_d, len_d, counts_d = _decoder_call(TI, IT, SROWS, MROWS, interpret,
-                                            rans)(
-        warm_d, goff_d,
-        jnp.asarray(lane_sz.reshape(GROUPS, 128).astype(np.int32)),
-        stream_d)
-    counts = np.asarray(counts_d)[:, 0]
+    warm_d, goff_d, stream_d = _prep_call(p["UT"], p["SROWS"], interpret)(
+        jnp.asarray(p["upad"]), jnp.asarray(p["gunits"]), lane32)
+    meta_d, len_d, counts_d = _decoder_call(
+        p["TI"], p["IT"], p["SROWS"], p["MROWS"], interpret, p["rans"])(
+        warm_d, goff_d, lane32, stream_d)
+    return {"meta_d": meta_d, "len_d": len_d, "counts_d": counts_d,
+            "lane_sz": p["lane_sz"]}
 
-    # Expand records into bytes ON DEVICE: a group's lanes occupy one
-    # contiguous span of the output (lane regions ascend globally), and the
-    # kernel emits each lane's records in stream order — so a stable sort of
-    # the records by lane followed by run-length expansion IS the group's
-    # output span.  Only decoded bytes cross the tunnel, not the (much
-    # larger) record arrays.  Both the record capacity R and the byte pad
-    # are sized PER GROUP (geometric 1.25x buckets): lanes are
-    # bit-balanced, so group byte sizes skew ~3x and any uniform pad
-    # multiplies the repeat work and the D2H by that skew.
-    gb = lane_sz.reshape(GROUPS, 128).sum(axis=1).astype(np.int64)
-    import jax.numpy as _jnp
 
-    def _bucket(x: int, lo: int, step: int = 128) -> int:
-        b = lo
-        while b < x:
-            b = -(-(b * 5 + 3) // 4 // step) * step
-        return b
+def _dec_finish(st: dict, interpret: bool) -> bytes:
+    """Sync the record counts, expand records into bytes per group, fetch
+    and join.
 
+    Expansion happens ON DEVICE: a group's lanes occupy one contiguous
+    span of the output (lane regions ascend globally), and the kernel
+    emits each lane's records in stream order — so a stable sort of the
+    records by lane followed by run-length expansion IS the group's
+    output span.  Only decoded bytes cross the tunnel, not the (much
+    larger) record arrays.  Both the record capacity R and the byte pad
+    are sized PER GROUP (geometric 1.25x buckets): lanes are
+    bit-balanced, so group byte sizes skew ~3x and any uniform pad
+    multiplies the repeat work and the D2H by that skew."""
+    import jax.numpy as jnp
+
+    meta_d, len_d = st["meta_d"], st["len_d"]
+    counts = np.asarray(st["counts_d"])[:, 0]
+    gb = st["lane_sz"].reshape(GROUPS, 128).sum(axis=1).astype(np.int64)
     Rcap = meta_d.shape[1] * 128
     parts = []
     for g in range(GROUPS):
         used_g = (int(counts[g]) // 128 + 9) * 128
-        R = min(_bucket(used_g, 2048), Rcap)
-        GBpad = _bucket(int(gb[g]), 1 << 10, step=1)
+        R = min(_geom_bucket(used_g, 2048), Rcap)
+        GBpad = _geom_bucket(int(gb[g]), 1 << 10, step=1)
         out_g = _post_expand_call(R, GBpad, interpret)(
             meta_d[g, : R // 128, :].reshape(R),
             len_d[g, : R // 128, :].reshape(R),
-            _jnp.int32(int(counts[g])))
+            jnp.int32(int(counts[g])))
         parts.append(out_g)
     return b"".join(np.asarray(p)[: gb[g]].tobytes()
                     for g, p in enumerate(parts))
+
+
+def device_decode(payload: bytes, interpret: bool = False):
+    """Wide-profile decode with the lockstep state machine on device.
+    Returns the decoded bytes, or None when not applicable (falls back to
+    the host codec)."""
+    parsed = _dec_parse(payload)
+    if parsed is None:
+        return None
+    return _dec_finish(_dec_submit(parsed, interpret), interpret)
+
+
+def device_decode_many(payloads, interpret: bool = False):
+    """Pipelined wide decode of several payloads: block i+1's unit stream
+    is H2D'd and its kernels queued BEFORE block i's record-count sync, so
+    the chip runs back-to-back decode kernels while the host feeds and
+    drains — the decode counterpart of device_encode_many (the reference
+    overlaps its device stages the same way, st.cu:372-387).  Returns a
+    list of decoded bytes (None where a payload is not kernel-decodable)."""
+    results: list = [None] * len(payloads)
+    pending: list = []  # [(index, in-flight state)], oldest first
+    for i, payload in enumerate(payloads):
+        parsed = _dec_parse(payload)
+        if parsed is None:
+            continue
+        # depth 2: one block computing, one queued behind it
+        while len(pending) >= 2:
+            j, st = pending.pop(0)
+            results[j] = _dec_finish(st, interpret)
+        pending.append((i, _dec_submit(parsed, interpret)))
+    for j, st in pending:
+        results[j] = _dec_finish(st, interpret)
+    return results

@@ -285,6 +285,39 @@ def test_wide_device_decode_parity_interpret(rng):
     assert back == d
 
 
+def test_wide_device_decode_many_pipeline(monkeypatch):
+    """device_decode_many orchestration: results land at their payload's
+    index, non-kernel-decodable payloads pass through as None, at most two
+    submissions are in flight, and every submission is finished exactly
+    once (the kernels themselves are covered by the parity test above)."""
+    from libbsc_tpu.ops import wide_kernels
+
+    inflight = []
+    finished = []
+
+    def fake_parse(payload):
+        return None if payload is None else {"tag": payload}
+
+    def fake_submit(parsed, interpret):
+        inflight.append(parsed["tag"])
+        assert len(inflight) <= 2
+        return {"tag": parsed["tag"]}
+
+    def fake_finish(st, interpret):
+        inflight.remove(st["tag"])
+        finished.append(st["tag"])
+        return b"out-%d" % st["tag"]
+
+    monkeypatch.setattr(wide_kernels, "_dec_parse", fake_parse)
+    monkeypatch.setattr(wide_kernels, "_dec_submit", fake_submit)
+    monkeypatch.setattr(wide_kernels, "_dec_finish", fake_finish)
+
+    outs = wide_kernels.device_decode_many([0, None, 1, 2, None, 3])
+    assert outs == [b"out-0", None, b"out-1", b"out-2", None, b"out-3"]
+    assert finished == [0, 1, 2, 3]  # in submission order
+    assert not inflight
+
+
 def test_wide_decode_under_numpy_fallback_engine(rng, monkeypatch):
     """Wide archives must decode when the native build is unavailable: the
     numpy fallback stages write in-place, so the decoded buffer handed to

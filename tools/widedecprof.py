@@ -95,7 +95,7 @@ def main():
             b *= 2
         return b
     SROWS, MROWS = _b(SROWS), _b(MROWS)
-    UT = _b(total + 2)
+    UT = max(1 << 16, K._geom_bucket(total + 2, 1 << 16))
     upad = np.zeros(UT, dtype=np.uint16)
     upad[:total] = units
     lane32 = lane_sz.reshape(K.GROUPS, 128).astype(np.int32)
