@@ -61,6 +61,7 @@ def load():
         _sig(lib.tbsc_set_tables, c_int, [i16p, i16p, u8p, u8p])
         _sig(lib.tbsc_qlfc_encode_block, c_int, [u8p, u8p, c_int, c_int, c_int])
         _sig(lib.tbsc_qlfc_decode_block, c_int, [u8p, u8p, c_int])
+        _sig(lib.tbsc_qlfc_release_scratch, None, [])
         _sig(lib.tbsc_coder_compress, c_int, [u8p, u8p, c_int, c_int, c_int])
         _sig(lib.tbsc_coder_decompress, c_int, [u8p, u8p, c_int, c_int])
         _sig(lib.tbsc_lzp_compress, c_int, [u8p, u8p, c_int, c_int, c_int, c_int])

@@ -10,6 +10,7 @@ FormatTables g_tables = {nullptr, nullptr, nullptr, nullptr};
 int qlfc_init();
 int qlfc_encode_block(const uint8_t*, uint8_t*, int, int, int);
 int qlfc_decode_block(const uint8_t*, uint8_t*, int);
+void qlfc_release_scratch();
 int coder_compress(const uint8_t*, uint8_t*, int, int, int);
 int coder_decompress(const uint8_t*, uint8_t*, int, int);
 int lzp_encode_block(const uint8_t*, const uint8_t*, uint8_t*, uint8_t*, int, int);
@@ -54,6 +55,10 @@ int tbsc_qlfc_encode_block(const uint8_t* in, uint8_t* out, int isize, int osize
 int tbsc_qlfc_decode_block(const uint8_t* in, uint8_t* out, int kind) {
   return tbsc::qlfc_decode_block(in, out, kind);
 }
+
+// Free the calling thread's cached QLFC scratch (buffer + model snapshots):
+// a release hook for long-lived thread pools (see native/qlfc.cc Scratch).
+void tbsc_qlfc_release_scratch() { tbsc::qlfc_release_scratch(); }
 
 int tbsc_coder_compress(const uint8_t* in, uint8_t* out, int n, int kind, int num_threads) {
   return tbsc::coder_compress(in, out, n, kind, num_threads);

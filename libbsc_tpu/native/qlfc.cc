@@ -966,6 +966,20 @@ struct Scratch {
 thread_local Scratch g_scratch;
 }  // namespace
 
+// Release the calling thread's cached scratch (rank buffer + multi-MB model
+// snapshots).  Long-lived pool workers that are done with coder work can call
+// this to return the memory; the next encode/decode call re-allocates.
+void qlfc_release_scratch() {
+  Scratch& s = g_scratch;
+  free(s.buf);
+  s.buf = nullptr;
+  s.cap = 0;
+  free(s.m1);
+  s.m1 = nullptr;
+  free(s.m2);
+  s.m2 = nullptr;
+}
+
 int qlfc_encode_block(const u8* input, u8* output, int isize, int osize, int kind) {
   if (qlfc_init() != 0) return -2;
   Scratch& s = g_scratch;

@@ -607,12 +607,17 @@ int wide_ranks(const u8* input, i64 n, int n_lanes, int cap,
 // Packed variant: per lane, emit ONLY the bit stream as 2-bit fields
 // (bit, active=1), 4 iterations per byte — the device kernel derives the
 // contexts itself.  cap4 = bytes per lane (covers cap4*4 iterations).
+// On overflow, lanes past cap4*4 bits keep walking WITHOUT writing so the
+// true maximum is still counted, and the return is -(maxbits) - 1: one
+// retry can then size the buffer exactly instead of doubling blind.
 int wide_schedule_packed(const u8* input, i64 n, int n_lanes, int cap4,
                          u8* packed_out, const int32_t* sizes) {
   using namespace wide;
   const int L = n_lanes > 0 ? n_lanes : pick_lanes(n);
   const i64 chunk = (n + L - 1) / L;
+  const i64 capbits = (i64)cap4 * 4;
   i64 maxbits = 0;
+  bool overflow = false;
   i64 run_start = 0;
   for (int k = 0; k < L; ++k) {
     i64 start, s;
@@ -630,15 +635,17 @@ int wide_schedule_packed(const u8* input, i64 n, int n_lanes, int cap4,
     i64 nb = 0;
     if (s > 0 && next_run_encode(ln)) {
       while (ln.phase != PH_DONE) {
-        if (nb >= (i64)cap4 * 4) return -1;
         int fld = next_bit_encode(ln) | 2;  // bit | active
-        po[nb >> 2] = (u8)(po[nb >> 2] | (fld << ((nb & 3) * 2)));
+        if (nb < capbits)
+          po[nb >> 2] = (u8)(po[nb >> 2] | (fld << ((nb & 3) * 2)));
+        else
+          overflow = true;
         ++nb;
       }
     }
     if (nb > maxbits) maxbits = nb;
   }
-  return (int)maxbits;
+  return overflow ? (int)(-maxbits - 1) : (int)maxbits;
 }
 
 int wide_schedule(const u8* input, i64 n, int n_lanes, int cap,

@@ -772,7 +772,14 @@ def unbwt_wideaux_device(data, index: int, indexes, r: int):
     import os
 
     n = int(len(data))
-    unroll = int(os.environ.get("TBSC_WIDEAUX_UNROLL", "8"))
+    # clamp to the swept 4..64 range (docs/TPU_SORT_NOTES.md): unroll is a
+    # static jit arg, so every new value pays a fresh 90-130 s TPU compile,
+    # and a malformed env var must not kill the decode path
+    try:
+        unroll = int(os.environ.get("TBSC_WIDEAUX_UNROLL", "8"))
+    except ValueError:
+        unroll = 8
+    unroll = max(4, min(64, unroll))
     out = _unbwt_wideaux_jit(
         jnp.asarray(np.asarray(data, dtype=np.uint8)),
         jnp.int32(index),

@@ -752,8 +752,9 @@ def host_schedule_packed(buf: np.ndarray, n: int, sizes_p, chunk: int):
     The worst case is ~17 bits per byte but real post-BWT data runs
     ~2-4, and the walker memsets its full [LANES, cap4] output row — a
     worst-case cap costs >1 GB of pure zeroing (measured ~750 ms of the
-    round-3 e2e).  Start at 4 bits/byte-of-average-lane and double on
-    overflow (each retry is one ~300 ms walk; rare on compressible data).
+    round-3 e2e).  Start at 4 bits/byte-of-average-lane; on overflow the
+    walker keeps counting and returns -(needed_bits)-1, so ONE retry
+    sizes the buffer exactly (was: blind 4x doubling, up to 4 walks).
 
     Returns (pk [LANES, cap4] u8, max_bits); max_bits < 0 = not encodable.
     Callers slicing pk[:, :IT//4] must np.pad when the bucketed IT
@@ -771,7 +772,8 @@ def host_schedule_packed(buf: np.ndarray, n: int, sizes_p, chunk: int):
                                                  _u8p(pk), sizes_p)
         if max_bits >= 0 or cap4 >= hard:
             return pk, max_bits
-        cap4 = min(cap4 * 4, hard)
+        needed4 = (-max_bits - 1 + 3) // 4 + 16
+        cap4 = min(max(needed4, cap4 + 1), hard)
 
 
 def _host_prep(data: bytes, interpret: bool = False):
@@ -903,13 +905,26 @@ def device_encode_many(datas, interpret: bool = False):
 
     results: list = [None] * len(datas)
     prep_q: "queue.Queue" = queue.Queue(maxsize=2)
+    abort = threading.Event()
 
     def prep_worker():
         for i, data in enumerate(datas):
+            if abort.is_set():
+                return
             try:
-                prep_q.put((i, _host_prep(data, interpret)))
+                item = (i, _host_prep(data, interpret))
             except Exception:
-                prep_q.put((i, None))
+                item = (i, None)
+            # bounded put with an abort check so a dead consumer (device
+            # exception in the main loop) cannot leave this thread blocked
+            # forever on a full queue — which would then hang t.join()
+            while True:
+                try:
+                    prep_q.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    if abort.is_set():
+                        return
         prep_q.put(None)
 
     t = threading.Thread(target=prep_worker, daemon=True)
@@ -935,6 +950,12 @@ def device_encode_many(datas, interpret: bool = False):
             pi, pf = pending
             results[pi] = _collect(len(datas[pi]), pf)
     finally:
+        abort.set()
+        try:
+            while True:
+                prep_q.get_nowait()
+        except queue.Empty:
+            pass
         t.join()
     return results
 
