@@ -161,28 +161,43 @@ def compress(
         block_sorter = C.BLOCKSORTER_BWT
         mode = (mode & ~0x1F) | C.BLOCKSORTER_BWT
 
-    # Block sort
+    # Fused device-resident route (BWT_WIDEAUX + QLFC_WIDE on a device):
+    # sort, bit schedule and coder kernels share one HBM residency; only
+    # the payload crosses back (engine.compress_block_device).
+    payload = None
     wideaux_r = None
-    if block_sorter == C.BLOCKSORTER_BWT:
-        with stage("bwt_encode", len(lz)):
-            index, num_indexes, indexes = engine.bwt_encode(lz, features)
-    elif block_sorter == C.BLOCKSORTER_BWT_WIDEAUX:
-        with stage("bwt_encode_wideaux", len(lz)):
-            index, num_indexes, indexes, wideaux_r = \
-                engine.bwt_encode_wideaux(lz, features)
-    elif C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8:
-        with stage(f"st{block_sorter}_encode", len(lz)):
-            index = engine.st_encode(lz, block_sorter, features)
-        num_indexes, indexes = 0, None
-    else:
-        raise BscError(C.BAD_PARAMETER)
-    if index < 0:
-        raise BscError(index, _ERROR_NAMES.get(index, str(index)))
-    if n < 64 * 1024 and wideaux_r is None:
-        num_indexes = 0
+    if (block_sorter == C.BLOCKSORTER_BWT_WIDEAUX
+            and coder == C.CODER_QLFC_WIDE
+            and engine._device_sort(features)):
+        with stage("compress_block_device", len(lz)):
+            fused = engine.compress_block_device(lz, features)
+        if fused is not None:
+            index, num_indexes, indexes, wideaux_r, payload = fused
+
+    # Block sort (per-stage route)
+    if payload is None:
+        if block_sorter == C.BLOCKSORTER_BWT:
+            with stage("bwt_encode", len(lz)):
+                index, num_indexes, indexes = engine.bwt_encode(lz, features)
+        elif block_sorter == C.BLOCKSORTER_BWT_WIDEAUX:
+            with stage("bwt_encode_wideaux", len(lz)):
+                index, num_indexes, indexes, wideaux_r = \
+                    engine.bwt_encode_wideaux(lz, features)
+        elif C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8:
+            with stage(f"st{block_sorter}_encode", len(lz)):
+                index = engine.st_encode(lz, block_sorter, features)
+            num_indexes, indexes = 0, None
+        else:
+            raise BscError(C.BAD_PARAMETER)
+        if index < 0:
+            raise BscError(index, _ERROR_NAMES.get(index, str(index)))
+        if n < 64 * 1024 and wideaux_r is None:
+            num_indexes = 0
 
     # Entropy coding
-    if coder == C.CODER_QLFC_WIDE:
+    if payload is not None:
+        pass  # fused route produced it
+    elif coder == C.CODER_QLFC_WIDE:
         from .ops import wide
 
         payload = None

@@ -366,6 +366,46 @@ def bwt_encode_wideaux(data: np.ndarray, features: int):
     return rc, k, indexes[:k], r
 
 
+def compress_block_device(lz: np.ndarray, features: int):
+    """Fused device-resident encode for BLOCKSORTER_BWT_WIDEAUX +
+    CODER_QLFC_WIDE: ONE H2D of the (LZP'd) block, then device BWT →
+    device bit schedule → device model/rANS kernels, with only the
+    compressed unit grids crossing back — the TPU counterpart of the
+    reference's one-residency GPU stage (st.cu:372-387 copies in once and
+    streams; libcubwt.cu:2332-2334 pins one staging buffer).  The
+    per-stage paths D2H the full transformed block between sort and coder
+    (39 MB/s on this harness's tunnel), which this route removes.
+
+    Returns (index, num_indexes, indexes, r, payload) or None (caller
+    falls back to the per-stage host/device route)."""
+    if not _device_sort(features):
+        return None
+    n = len(lz)
+    if n < _DEVICE_MIN_BLOCK:
+        return None
+    try:
+        import jax.numpy as jnp
+
+        from .ops import bwt as opsbwt
+        from .ops import wide_kernels
+
+        r = wideaux_rate(n)
+        U, primary, aux = opsbwt.bwt_encode_wideaux_device(
+            jnp.asarray(lz), r)
+        # interpret=False on purpose: on a CPU backend (TBSC_ENGINE=ops
+        # tests) the Mosaic kernels raise immediately and the caller falls
+        # back to the per-stage route — interpret-mode kernels over a
+        # >=1 MB block would take minutes (tests exercise the resident
+        # path directly on small blocks with interpret=True)
+        payload = wide_kernels.device_encode_resident(U)
+        if payload is None:
+            return None
+        aux_np = np.asarray(aux, dtype=np.int32)
+        return int(primary), int(aux_np.shape[0]), aux_np, r, payload
+    except Exception:
+        return None
+
+
 def bwt_decode_wideaux(data: np.ndarray, index: int, num_indexes: int,
                        indexes, r: int, features: int):
     """Inverse BWT for the wide-aux profile: thousands-wide parallel chain

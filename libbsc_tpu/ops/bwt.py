@@ -603,11 +603,10 @@ def bwt_encode_dc3(data: jax.Array):
 # BWT wrappers
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _extract_bwt(data: jax.Array, rank: jax.Array):
+def _extract_bwt_impl(data: jax.Array, rank: jax.Array, r: int):
     """U + primary + aux from position-ordered ranks, gather-free: one 1-key
     sort carries T[i-1] into rank order, and the primary-row deletion is a
-    select between the array and its roll."""
+    select between the array and its roll.  `r` is the aux sampling rate."""
     n = data.shape[0]
     prevbyte = jnp.roll(data, 1)  # T[i-1]; at i=0 this is T[n-1] (= row r0)
     _, A = lax.sort((rank, prevbyte), num_keys=1, is_stable=True)
@@ -616,10 +615,14 @@ def _extract_bwt(data: jax.Array, rank: jax.Array):
     U = jnp.where(w <= r0, jnp.roll(A, 1), A)
     U = U.at[0].set(A[r0])
 
-    r = aux_rate(n)
     n_aux = (n - 1) // r
     aux = rank[(jnp.arange(n_aux, dtype=jnp.int32) + 1) * r]
     return U, r0 + 1, aux
+
+
+@jax.jit
+def _extract_bwt(data: jax.Array, rank: jax.Array):
+    return _extract_bwt_impl(data, rank, aux_rate(data.shape[0]))
 
 
 def bwt_encode(data: jax.Array):
@@ -638,6 +641,24 @@ def bwt_encode(data: jax.Array):
 def _bwt_encode_jit(data: jax.Array):
     _, rank = suffix_array(data)
     return _extract_bwt(data, rank)
+
+
+@partial(jax.jit, static_argnames=("r",))
+def _bwt_encode_rate_jit(data: jax.Array, r: int):
+    _, rank = suffix_array(data)
+    return _extract_bwt_impl(data, rank, r)
+
+
+def bwt_encode_wideaux_device(data: jax.Array, r: int):
+    """Forward BWT with the wide-aux sampling rate, fully on device —
+    the sort stage of the device-resident encode pipeline (the result
+    stays in HBM for the wide coder's schedule builder).  Returns
+    (U uint8[n], primary int32, aux int32[(n-1)//r]) matching the native
+    tbsc_bwt_encode_rate convention (native/bwt.cc)."""
+    n = data.shape[0]
+    if n <= 1:
+        return data, jnp.int32(n), jnp.zeros(0, dtype=jnp.int32)
+    return _bwt_encode_rate_jit(data, r)
 
 
 def bwt_encode_fast(data: jax.Array):

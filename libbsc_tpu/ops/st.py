@@ -90,16 +90,17 @@ def st_encode_padded(data: jax.Array, n: jax.Array, k: int):
     n = jnp.asarray(n, dtype=jnp.int32)
     idx = jnp.arange(n_pad, dtype=jnp.int32)
     d32 = data.astype(jnp.uint32)
+    # one dynamic roll shared by every wrap: roll(d32, n - j) ==
+    # roll(roll(d32, n), -j), so the j-dependent part becomes a static roll
+    # (a contiguous copy) — was 8 dynamic rolls for ST8
+    dwrap = jnp.roll(d32, n)
 
     def ctx_byte(j: int) -> jax.Array:
         # T[(i + j) mod n]: a static roll covers i + j < n; positions in
-        # [n - j, n) wrap to data[i + j - n], which is a dynamic roll by
-        # n - j.  (Rolls are contiguous copies — far cheaper than gathers.)
+        # [n - j, n) wrap to data[i + j - n] via the shared dynamic roll.
         if j == 0:
             return d32
-        straight = jnp.roll(d32, -j)
-        wrapped = jnp.roll(d32, n - j)
-        return jnp.where(idx < n - j, straight, wrapped)
+        return jnp.where(idx < n - j, jnp.roll(d32, -j), jnp.roll(dwrap, -j))
 
     hi = jnp.zeros(n_pad, dtype=jnp.uint32)
     for j in range(min(k, 4)):

@@ -893,6 +893,53 @@ def device_encode(data: bytes, interpret: bool = False):
     return _collect(len(data), _submit(prep, interpret))
 
 
+def submit_resident(u_dev, interpret: bool = False):
+    """Device-RESIDENT wide encode of a transformed block already in HBM
+    (the composed pipeline: the sorter's output never crosses the tunnel).
+    Lane balancing, the bit schedule (ops/wide_schedule device_schedule_v2,
+    event-indexed) and the model/rANS kernels all run on device; only the
+    unit grids come back for the host post-pass.
+
+    Returns the in-flight tuple for :func:`collect_resident`, or None when
+    the block is not wide-encodable on device.  The reference analog is the
+    one-residency GPU stage of st.cu:372-387 / libcubwt.cu:2332-2334."""
+    import jax.numpy as jnp
+
+    from . import wide_schedule
+
+    n = int(u_dev.shape[0])
+    if n < LANES:
+        return None
+    chunk = -(-n // LANES)
+    if chunk >= (1 << W.RUN_EXP_CAP):
+        return None
+    TI = 256
+    sizes_d = wide_schedule.device_balanced_sizes(u_dev, LANES)
+    packed, max_bits = wide_schedule.device_schedule_v2(
+        u_dev, sizes_d, LANES,
+        it_bucket=lambda mb: _it_bucket(max(mb, TI), TI))
+    if packed is None or max_bits < 0:
+        return None
+    IT = _it_bucket(max(max_bits, TI), TI)
+    planes = jnp.transpose(
+        packed[:, : IT // 4].reshape(GROUPS, 128, IT // 4), (2, 0, 1))
+    sizes = np.asarray(sizes_d, dtype=np.int32)  # 4 KB D2H
+    return n, _submit((planes, sizes, max_bits, IT), interpret)
+
+
+def collect_resident(inflight):
+    """D2H + host assembly for :func:`submit_resident`."""
+    if inflight is None:
+        return None
+    n, sub = inflight
+    return _collect(n, sub)
+
+
+def device_encode_resident(u_dev, interpret: bool = False):
+    """submit_resident + collect_resident in one call."""
+    return collect_resident(submit_resident(u_dev, interpret))
+
+
 def device_encode_many(datas, interpret: bool = False):
     """Pipelined wide encode of several blocks: a prep thread runs the
     host scheduler of block i+1 while block i's kernels execute on the

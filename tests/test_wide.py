@@ -347,3 +347,87 @@ def test_wide_corrupt_stream_raises_not_crashes(rng):
         except (api.BscError, RuntimeError):
             hits += 1
     assert hits > 0
+
+
+@pytest.mark.parametrize("kind,n,lanes", [
+    ("text", 65536, 16), ("random", 65536, 16), ("runs", 65536, 16),
+    ("text", 300_000, 64), ("periodic", 2048, 16)])
+def test_wide_device_schedule_v2_parity(rng, kind, n, lanes):
+    """The event-indexed schedule builder (device_schedule_v2: flat RLE
+    compaction + [L, E] event grid + scatter/cummax-fill expansion) must
+    reproduce the native walker's packed planes bit for bit — with both
+    the native balanced lane table and the device balancer's own table."""
+    from libbsc_tpu import engine
+    from libbsc_tpu.native import _i32p, _u8p
+    from libbsc_tpu.ops.wide_schedule import (device_balanced_sizes,
+                                              device_schedule_v2)
+
+    api.init()
+    lib = engine._lib()
+    if lib is None:
+        pytest.skip("native runtime unavailable")
+    data = np.frombuffer(make_corpus(rng, n, kind), np.uint8).copy()
+    sizes = np.zeros(lanes, np.int32)
+    if lib.tbsc_wide_balanced_sizes(_u8p(data), n, lanes, _i32p(sizes)) != 0:
+        sizes = np.asarray(wide.lane_sizes(n, lanes), np.int32)
+    import jax.numpy as jnp
+
+    dev_sizes = np.asarray(device_balanced_sizes(jnp.asarray(data), lanes))
+    assert dev_sizes.sum() == n and (dev_sizes >= 0).all()
+    for sz in (sizes, dev_sizes.astype(np.int32)):
+        cap4 = -(-(17 * int(max(sz.max(), 1)) + 64) // 4)
+        pk = np.zeros((lanes, cap4), np.uint8)
+        mb = lib.tbsc_wide_schedule_packed(_u8p(data), n, lanes, cap4,
+                                           _u8p(pk), _i32p(sz))
+        assert mb >= 0
+        packed_d, mb_d = device_schedule_v2(data, sz, lanes)
+        assert packed_d is not None and mb_d == mb
+        pd = np.asarray(packed_d)
+        m = min(pd.shape[1], pk.shape[1])
+        assert np.array_equal(pd[:, :m], pk[:, :m])
+        assert not pd[:, m:].any() and not pk[:, m:].any()
+
+
+def test_bwt_encode_wideaux_device_parity(rng):
+    """The device rate-variant BWT (the sort stage of the fused resident
+    pipeline) must match native tbsc_bwt_encode_rate: same U, primary and
+    aux table at the wideaux sampling rate."""
+    from libbsc_tpu import engine
+
+    api.init()
+    if engine._lib() is None:
+        pytest.skip("native runtime unavailable")
+    import jax.numpy as jnp
+
+    from libbsc_tpu.ops import bwt as opsbwt
+
+    data = np.frombuffer(make_corpus(rng, 200_000, "text"), np.uint8).copy()
+    r = engine.wideaux_rate(len(data))
+    ref = data.copy()
+    idx_ref, k_ref, aux_ref, r_ref = engine.bwt_encode_wideaux(ref, 0)
+    assert r_ref == r
+    U, primary, aux = opsbwt.bwt_encode_wideaux_device(jnp.asarray(data), r)
+    assert int(primary) == idx_ref
+    assert np.array_equal(np.asarray(U), ref)
+    assert np.array_equal(np.asarray(aux, np.int32), aux_ref[:k_ref])
+
+
+def test_wide_device_encode_resident_interpret(rng):
+    """The device-RESIDENT wide encode (device balancer + event-indexed
+    schedule + Pallas kernels, interpret mode) must produce a payload the
+    native decoder round-trips."""
+    from libbsc_tpu import engine
+    from libbsc_tpu.ops import wide_kernels
+
+    api.init()
+    if engine._lib() is None:
+        pytest.skip("native runtime unavailable")
+    import jax.numpy as jnp
+
+    data = np.frombuffer(make_corpus(rng, 40_000, "text"), np.uint8).copy()
+    engine.bwt_encode(data, 0)  # wide input is post-BWT in the pipeline
+    payload = wide_kernels.device_encode_resident(
+        jnp.asarray(data), interpret=True)
+    assert payload is not None
+    assert wide.wide_decode(payload) == data.tobytes()
+    assert wide.wide_decode_ref(payload) == data.tobytes()
