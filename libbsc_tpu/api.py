@@ -169,10 +169,13 @@ def compress(
     if (block_sorter == C.BLOCKSORTER_BWT_WIDEAUX
             and coder == C.CODER_QLFC_WIDE
             and engine._device_sort(features)):
-        with stage("compress_block_device", len(lz)):
-            fused = engine.compress_block_device(lz, features)
-        if fused is not None:
-            index, num_indexes, indexes, wideaux_r, payload = fused
+        from .ops import wide as _wide
+
+        if _wide.pick_lanes_policy(len(lz)) == _wide.DEFAULT_LANES:
+            with stage("compress_block_device", len(lz)):
+                fused = engine.compress_block_device(lz, features)
+            if fused is not None:
+                index, num_indexes, indexes, wideaux_r, payload = fused
 
     # Block sort (per-stage route)
     if payload is None:
@@ -201,9 +204,13 @@ def compress(
         from .ops import wide
 
         payload = None
-        if engine._device_sort(features):
+        lanes = wide.pick_lanes_policy(len(lz))
+        if lanes == wide.DEFAULT_LANES and engine._device_sort(features):
             # on-chip lockstep coder (silent host fallback, like the
-            # reference's GPU dispatch)
+            # reference's GPU dispatch).  Only the 1024-lane THROUGHPUT
+            # point runs on device — the kernel programs are 1024-wide;
+            # other lane counts (e.g. the 128-lane ratio point,
+            # TBSC_WIDE_LANES=128) take the native codec below.
             try:
                 from .ops import wide_kernels
 
@@ -213,7 +220,8 @@ def compress(
                 payload = None
         if payload is None:
             with stage("coder_compress_wide", len(lz)):
-                payload = wide.wide_encode(bytes(lz.tobytes()))
+                payload = wide.wide_encode(bytes(lz.tobytes()),
+                                           n_lanes=lanes)
     else:
         with stage("coder_compress", len(lz)):
             payload = engine.coder_compress(
@@ -302,7 +310,22 @@ def _decode_to_sorter(block: bytes, expected_size: int | None = None,
         from .ops import wide
 
         lz = None
-        if engine._device_sort(features):
+        sorted_done = False
+        if (block_sorter == C.BLOCKSORTER_BWT_WIDEAUX
+                and engine._device_sort(features)):
+            # fused device-resident decode: wide kernel output stays in
+            # HBM and feeds the wideaux chase; one D2H of the final bytes
+            import struct as _struct
+
+            (tsize,) = _struct.unpack_from("<I", payload, 0)
+            with stage("decompress_block_device", len(payload)):
+                out = engine.decompress_block_device(
+                    payload, h.index, indexes,
+                    engine.wideaux_rate(int(tsize)), int(tsize), features)
+            if out is not None:
+                lz = np.ascontiguousarray(out, dtype=np.uint8)
+                sorted_done = True
+        if lz is None and engine._device_sort(features):
             try:
                 from .ops import wide_kernels
 
@@ -320,6 +343,7 @@ def _decode_to_sorter(block: bytes, expected_size: int | None = None,
                     wide.wide_decode(payload), dtype=np.uint8
                 ).copy()
     else:
+        sorted_done = False
         out = None
         if scratch:
             from .utils import bufpool
@@ -337,7 +361,7 @@ def _decode_to_sorter(block: bytes, expected_size: int | None = None,
             or C.BLOCKSORTER_ST3 <= block_sorter <= C.BLOCKSORTER_ST8):
         raise BscError(C.DATA_CORRUPT)
     return {
-        "h": h, "lz": lz, "sorter": block_sorter,
+        "h": h, "lz": lz, "sorter": block_sorter, "sorted": sorted_done,
         "num_indexes": num_indexes, "indexes": indexes,
         "lzp_hash_size": lzp_hash_size, "lzp_min_len": lzp_min_len,
         "scratch": scratch,
@@ -371,6 +395,8 @@ def _finish_decode(st) -> bytes:
 def _run_sorter(st) -> None:
     from . import engine
 
+    if st.get("sorted"):
+        return  # fused device decode already inverted the sorter
     h, lz = st["h"], st["lz"]
     if st["sorter"] == C.BLOCKSORTER_BWT:
         with stage("bwt_decode", len(lz)):

@@ -406,6 +406,35 @@ def compress_block_device(lz: np.ndarray, features: int):
         return None
 
 
+def decompress_block_device(payload: bytes, index: int, indexes, r: int,
+                            n: int, features: int):
+    """Fused device-resident decode for BLOCKSORTER_BWT_WIDEAUX +
+    CODER_QLFC_WIDE: the wide decode kernel's output block STAYS in HBM
+    and feeds the wideaux inverse-BWT chase directly; only the final bytes
+    cross back (one D2H instead of D2H + H2D + D2H on the per-stage
+    route).  Returns the decoded (pre-LZP) bytes as ndarray, or None."""
+    if not _device_sort(features):
+        return None
+    if n < _DEVICE_MIN_BLOCK:
+        return None
+    try:
+        import jax.numpy as jnp
+
+        from .ops import bwt as opsbwt
+        from .ops import wide_kernels
+
+        U_dev = wide_kernels.device_decode_resident(payload)
+        if U_dev is None:
+            return None
+        out = opsbwt._unbwt_wideaux_jit(
+            U_dev, jnp.int32(index),
+            jnp.asarray(np.ascontiguousarray(indexes, dtype=np.int32)),
+            r, n)
+        return np.asarray(out)
+    except Exception:
+        return None
+
+
 def bwt_decode_wideaux(data: np.ndarray, index: int, num_indexes: int,
                        indexes, r: int, features: int):
     """Inverse BWT for the wide-aux profile: thousands-wide parallel chain

@@ -154,6 +154,32 @@ def pick_lanes(isize: int) -> int:
     return min(lanes, MAX_LANES)
 
 
+def pick_lanes_policy(isize: int) -> int:
+    """Operating-point policy for the wide profile (docs/WIDE_PROFILE.md):
+
+    - 1024 lanes (default): the THROUGHPUT point — the device kernels'
+      lockstep width; ~12% ratio cost vs QLFC-static at 16 MB blocks.
+    - 128 lanes (TBSC_WIDE_LANES=128): the RATIO point — ~10% cost, runs
+      on the native host codec (the 1024-wide kernel programs would spend
+      8x the iterations on 1/8-utilized rows).
+
+    TBSC_WIDE_LANES sets the lane count explicitly (clamped to a power of
+    two in [2, MAX_LANES] and to the run-length cap); unset or invalid
+    falls back to pick_lanes."""
+    import os
+
+    try:
+        lanes = int(os.environ.get("TBSC_WIDE_LANES", "0"))
+    except ValueError:
+        lanes = 0
+    if lanes <= 0:
+        return pick_lanes(isize)
+    lanes = max(2, min(1 << (lanes.bit_length() - 1), MAX_LANES))
+    while -(-isize // lanes) >= (1 << RUN_EXP_CAP):
+        lanes *= 2
+    return min(lanes, MAX_LANES)
+
+
 # ---------------------------------------------------------------------------
 # reference implementation (numpy, lane-lockstep like the device kernels)
 # ---------------------------------------------------------------------------

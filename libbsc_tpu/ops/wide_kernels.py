@@ -1795,6 +1795,37 @@ def _dec_finish(st: dict, interpret: bool) -> bytes:
                     for g, p in enumerate(parts))
 
 
+def _dec_finish_device(st: dict, interpret: bool):
+    """_dec_finish variant that KEEPS the decoded block in HBM: returns a
+    device uint8[n] array (the composed decode pipeline chains the wideaux
+    inverse BWT on it without a D2H/H2D round trip of the block)."""
+    import jax.numpy as jnp
+
+    meta_d, len_d = st["meta_d"], st["len_d"]
+    counts = np.asarray(st["counts_d"])[:, 0]
+    gb = st["lane_sz"].reshape(GROUPS, 128).sum(axis=1).astype(np.int64)
+    Rcap = meta_d.shape[1] * 128
+    parts = []
+    for g in range(GROUPS):
+        used_g = (int(counts[g]) // 128 + 9) * 128
+        R = min(_geom_bucket(used_g, 2048), Rcap)
+        GBpad = _geom_bucket(int(gb[g]), 1 << 10, step=1)
+        out_g = _post_expand_call(R, GBpad, interpret)(
+            meta_d[g, : R // 128, :].reshape(R),
+            len_d[g, : R // 128, :].reshape(R),
+            jnp.int32(int(counts[g])))
+        parts.append(out_g[: int(gb[g])])
+    return jnp.concatenate(parts)
+
+
+def device_decode_resident(payload: bytes, interpret: bool = False):
+    """Wide decode that returns the block as a DEVICE array (or None)."""
+    parsed = _dec_parse(payload)
+    if parsed is None:
+        return None
+    return _dec_finish_device(_dec_submit(parsed, interpret), interpret)
+
+
 def device_decode(payload: bytes, interpret: bool = False):
     """Wide-profile decode with the lockstep state machine on device.
     Returns the decoded bytes, or None when not applicable (falls back to

@@ -431,3 +431,45 @@ def test_wide_device_encode_resident_interpret(rng):
     assert payload is not None
     assert wide.wide_decode(payload) == data.tobytes()
     assert wide.wide_decode_ref(payload) == data.tobytes()
+
+
+def test_wide_device_decode_resident_interpret(rng):
+    """Composed decode: the wide decode kernel's output block stays a
+    device array and feeds the wideaux inverse-BWT chase directly; the
+    result must equal the original bytes."""
+    from libbsc_tpu import engine
+    from libbsc_tpu.ops import bwt as opsbwt
+    from libbsc_tpu.ops import wide_kernels
+
+    api.init()
+    if engine._lib() is None:
+        pytest.skip("native runtime unavailable")
+    import jax.numpy as jnp
+
+    orig = np.frombuffer(make_corpus(rng, 40_000, "text"), np.uint8).copy()
+    data = orig.copy()
+    idx, k, aux, r = engine.bwt_encode_wideaux(data, 0)
+    assert idx >= 0
+    payload = wide.wide_encode(data.tobytes(), n_lanes=wide_kernels.LANES)
+    assert payload is not None
+    U_dev = wide_kernels.device_decode_resident(payload, interpret=True)
+    assert U_dev is not None
+    assert np.array_equal(np.asarray(U_dev), data)
+    out = opsbwt._unbwt_wideaux_jit(
+        U_dev, jnp.int32(idx), jnp.asarray(aux[:k], np.int32), r, len(orig))
+    assert np.array_equal(np.asarray(out), orig)
+
+
+def test_wide_lane_policy_env(rng, monkeypatch):
+    """TBSC_WIDE_LANES selects the wide operating point: 128 = ratio point
+    (native codec), default = pick_lanes; invalid values fall back; the
+    archive round-trips at every point."""
+    data = make_corpus(rng, 300_000, "text")
+    monkeypatch.setenv("TBSC_WIDE_LANES", "128")
+    assert wide.pick_lanes_policy(len(data)) == 128
+    blob = api.compress(data, coder=C.CODER_QLFC_WIDE)
+    assert api.decompress(blob) == data
+    monkeypatch.setenv("TBSC_WIDE_LANES", "notanint")
+    assert wide.pick_lanes_policy(1 << 24) == wide.pick_lanes(1 << 24)
+    monkeypatch.setenv("TBSC_WIDE_LANES", "96")  # clamp to pow2
+    assert wide.pick_lanes_policy(1 << 24) == 64
