@@ -465,7 +465,12 @@ def device_balanced_sizes(data, L: int):
             [jnp.ones(1, jnp.bool_), data[1:] != data[:-1]])
         cum = jnp.cumsum(nr.astype(i32))
         R = cum[-1]
-        targets = (jnp.arange(1, L, dtype=i32) * R) // L
+        # (k * R) // L without int32 overflow (k*R reaches 2^32 at 4M+
+        # runs x 1024 lanes, which silently collapsed every split point to
+        # 0 on the bench block): k*R = k*(R//L)*L + k*(R%L), so
+        # (k*R)//L == k*(R//L) + (k*(R%L))//L with every term < 2^31
+        k = jnp.arange(1, L, dtype=i32)
+        targets = k * (R // L) + (k * (R % L)) // L
         splits = jnp.searchsorted(cum, targets, side="right").astype(i32)
         bounds = jnp.concatenate(
             [jnp.zeros(1, i32), splits, jnp.full(1, n, i32)])
@@ -491,6 +496,11 @@ def device_schedule_v2(data, sizes, L: int, it_bucket=None):
         return None, -1
     RC = _bucket(max(R, 1024), 1024)
     E = _bucket(max(maxpl, 256), 256)
+    if L * E > (1 << 27):
+        # badly skewed lane table (or a degenerate block): the [L, E]
+        # event grid would not fit — fall back to the host walker rather
+        # than hand XLA a multi-GB program
+        return None, -1
     rank, ev_len, B, total, mb = _events2_call(n, L, RC, E)(
         jnp.asarray(data), starts_d, sizes_d)
     max_bits = int(mb)  # scalar sync; sizes the expansion tightly

@@ -473,3 +473,26 @@ def test_wide_lane_policy_env(rng, monkeypatch):
     assert wide.pick_lanes_policy(1 << 24) == wide.pick_lanes(1 << 24)
     monkeypatch.setenv("TBSC_WIDE_LANES", "96")  # clamp to pow2
     assert wide.pick_lanes_policy(1 << 24) == 64
+
+
+def test_wide_device_balancer_overflow_regression(rng):
+    """k*R overflows int32 at ~4M runs x 1024 lanes; the quantile targets
+    must stay exact (regression: every split point collapsed to 0 on the
+    16 MB bench block, inflating the event grid 1000x)."""
+    import jax.numpy as jnp
+
+    from libbsc_tpu.ops.wide_schedule import device_balanced_sizes
+
+    n = 9 * 1024 * 1024
+    data = rng.integers(0, 2, n, dtype=np.uint8)  # ~n/2 runs
+    ds = np.asarray(device_balanced_sizes(jnp.asarray(data), 1024))
+    assert ds.sum() == n and (ds >= 0).all()
+    nr = np.ones(n, bool)
+    nr[1:] = data[1:] != data[:-1]
+    R = int(nr.sum())
+    starts = np.cumsum(ds) - ds
+    cum = np.cumsum(nr)
+    frid = cum[np.minimum(starts, n - 1)] - 1
+    frid[starts >= n] = R
+    counts = np.diff(np.append(frid, R))
+    assert counts.max() <= R // 1024 + 2
