@@ -198,21 +198,38 @@ def bwt_encode(data: np.ndarray, features: int):
             import jax.numpy as jnp
 
             # TBSC_BWT=dc3 selects the difference-cover sample-doubling
-            # sort (libcubwt's algorithm family); default is the direct
-            # prefix-doubling path — see bench.py's device_bwt detail for
-            # the measured comparison.
+            # sort (libcubwt's algorithm family); TBSC_BWT_PAD=0 opts out
+            # of shape bucketing to the exact-shape program.  Default is
+            # the shape-BUCKETED prefix-doubling path: variable-size blocks
+            # (LZP outputs) share one XLA program per 1.25x bucket instead
+            # of compiling per exact shape — the XLA analog of the
+            # reference reusing one device arena across block sizes
+            # (libcubwt.cu:2239-2375, st.cu:372-379).
             if os.environ.get("TBSC_BWT", "").lower() == "dc3":
                 from .ops.bwt import bwt_encode_dc3 as _dev_bwt
+
+                U, primary, aux = _dev_bwt(jnp.asarray(data))
+                aux = np.asarray(aux, dtype=np.int32)
+            elif os.environ.get("TBSC_BWT_PAD", "1") == "1":
+                from .ops.bwt import aux_rate as _aux_rate
+                from .ops.bwt import bwt_encode_padded as _dev_bwt_pad
+
+                m = device_bucket(n)
+                buf = np.zeros(m, dtype=np.uint8)
+                buf[:n] = data
+                r = _aux_rate(n)
+                U, primary, aux16 = _dev_bwt_pad(jnp.asarray(buf), n, r)
+                aux = np.asarray(aux16, dtype=np.int32)[: (n - 1) // r]
             else:
                 from .ops.bwt import bwt_encode as _dev_bwt
 
-            U, primary, aux = _dev_bwt(jnp.asarray(data))
+                U, primary, aux = _dev_bwt(jnp.asarray(data))
+                aux = np.asarray(aux, dtype=np.int32)
             # Materialize EVERY device result into host temporaries before
             # mutating `data`: if any transfer fails mid-way, the except
             # branch must see the original bytes or the host fallback would
             # re-transform already-transformed data.
-            U_host = np.asarray(U)
-            aux = np.asarray(aux, dtype=np.int32)
+            U_host = np.asarray(U)[:n]
             primary = int(primary)
         except Exception:
             pass

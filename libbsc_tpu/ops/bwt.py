@@ -71,7 +71,7 @@ def _log2_ceil(n: int) -> int:
 _BOOT_DEPTH = 15
 
 
-def _bootstrap(data: jax.Array):
+def _bootstrap(data: jax.Array, n_valid=None):
     """Depth-15 bootstrap: sort on 3 big-endian u32 words + a fourth word
     packing bytes 12..14 with the remaining length (4 sort keys total).
 
@@ -79,13 +79,21 @@ def _bootstrap(data: jax.Array):
     convention.  The remaining-length tiebreak resolves suffix-prefix ties (a
     shorter suffix that is a prefix of a longer one sorts first and no later
     round could separate them, as both windows run off the end).
+
+    `n_valid` (dynamic i32 scalar, padded-bucket variant): the true input
+    length; lanes in [n_valid, n) are PAD lanes and get a unique singleton
+    key — their low w3 byte is 0 while every real lane's is the remaining
+    length in [1,15], and their high w3 bits are the lane index (unique
+    while the pad span < 2^24, guaranteed by the 1.25x bucket ladder) — so
+    they resolve at the bootstrap and never mix with a real group.
     """
     n = data.shape[0]
+    nv = n if n_valid is None else n_valid
     idx = jnp.arange(n, dtype=jnp.int32)
     d32 = data.astype(jnp.uint32)
 
     def pbyte(j: int) -> jax.Array:
-        return jnp.where(idx + j < n, jnp.roll(d32, -j), 0)
+        return jnp.where(idx + j < nv, jnp.roll(d32, -j), 0)
 
     words = []
     for w in range(3):
@@ -93,8 +101,11 @@ def _bootstrap(data: jax.Array):
         for j in range(4):
             acc = (acc << 8) | pbyte(4 * w + j)
         words.append(acc)
-    rem = jnp.minimum(n - idx, _BOOT_DEPTH).astype(jnp.uint32)
+    rem = jnp.clip(nv - idx, 1, _BOOT_DEPTH).astype(jnp.uint32)
     w3 = (((pbyte(12) << 8 | pbyte(13)) << 8 | pbyte(14)) << 8) | rem
+    if n_valid is not None:
+        w3 = jnp.where(idx >= nv,
+                       (idx.astype(jnp.uint32) & 0xFFFFFF) << 8, w3)
     words.append(w3)
 
     sorted_all = lax.sort(tuple(words) + (idx,), num_keys=4, is_stable=True)
@@ -139,7 +150,7 @@ def _full_round(rank: jax.Array, k: jax.Array, n: int):
     return rank, mask, jnp.sum(mask.astype(jnp.int32))
 
 
-def _full_round4(rank: jax.Array, k: jax.Array, n: int):
+def _full_round4(rank: jax.Array, k: jax.Array, n: int, n_valid=None):
     """One QUADRUPLING round over all n elements: sort the 4-tuple
     (r(i), r(i+k), r(i+2k), r(i+3k)), which extends a depth-D order (k
     covering D) to depth 4D — two doubling rounds' progress for ~40% more
@@ -147,11 +158,16 @@ def _full_round4(rank: jax.Array, k: jax.Array, n: int):
     the same reason doubling is: equal rank prefixes imply the suffixes
     genuinely share that many chars (the bootstrap's remaining-length
     tiebreak keeps short suffixes in singleton groups), and the -1 fill
-    orders a shorter suffix before any continuation."""
+    orders a shorter suffix before any continuation.
+
+    `n_valid` (padded variant): continuations past the TRUE length rank -1,
+    exactly as past-the-array ones do in the exact-shape path; pad lanes are
+    already singletons so their rows are inert."""
+    nv = n if n_valid is None else n_valid
     idx = jnp.arange(n, dtype=jnp.int32)
 
     def at(off):
-        return jnp.where(idx + off < n, jnp.roll(rank, -off), -1)
+        return jnp.where(idx + off < nv, jnp.roll(rank, -off), -1)
 
     r2, r3, r4 = at(k), at(2 * k), at(3 * k)
     r1s, r2s, r3s, r4s, pos_s = lax.sort(
@@ -204,17 +220,29 @@ def _bucket_round_compact(rank: jax.Array, uidx: jax.Array, k: jax.Array,
 
 
 def _bucket_round_compact4(rank: jax.Array, uidx: jax.Array, k: jax.Array,
-                           n: int):
+                           n: int, n_valid=None):
     """Quadrupling variant of `_bucket_round_compact`: refine each
     unresolved group by the (r@k, r@2k, r@3k) continuation tuple in one
-    sort, advancing the covered depth 4x per round (see `_full_round4`)."""
+    sort, advancing the covered depth 4x per round (see `_full_round4`).
+
+    `n_valid` (padded variant): `n` stays the STATIC array length (the dead
+    -slot sentinel and scatter bound); continuations at or past `n_valid`
+    rank -1 instead of reading a pad lane's rank."""
+    nv = n if n_valid is None else n_valid
     m = uidx.shape[0]
     valid = uidx < n
     r1 = jnp.where(valid,
                    jnp.take(rank, uidx, mode="fill", fill_value=0), _IMAX)
-    r2 = jnp.take(rank, uidx + k, mode="fill", fill_value=-1)
-    r3 = jnp.take(rank, uidx + 2 * k, mode="fill", fill_value=-1)
-    r4 = jnp.take(rank, uidx + 3 * k, mode="fill", fill_value=-1)
+
+    def cont(off):
+        got = jnp.take(rank, uidx + off, mode="fill", fill_value=-1)
+        if n_valid is None:
+            return got
+        return jnp.where(uidx + off < nv, got, -1)
+
+    r2 = cont(k)
+    r3 = cont(2 * k)
+    r4 = cont(3 * k)
     r1s, r2s, r3s, r4s, uidx_s = lax.sort(
         (r1, r2, r3, r4, uidx), num_keys=4, is_stable=True)
     pos = jnp.arange(m, dtype=jnp.int32)
@@ -288,6 +316,126 @@ def suffix_array(data: jax.Array):
     idx = jnp.arange(n, dtype=jnp.int32)
     _, sa = lax.sort((rank, idx), num_keys=1, is_stable=True)
     return sa, rank
+
+
+# ---------------------------------------------------------------------------
+# padded (shape-bucketed) variant: ONE XLA program per size bucket
+# ---------------------------------------------------------------------------
+#
+# The reference GPU sorters reuse one device arena across variable block
+# sizes (libcubwt.cu:2239-2375 allocates once, st.cu:372-379 pads); the XLA
+# analog is shape bucketing (the trick ops/st.py:77-129 uses for the ST op):
+# round the input up to a bucket from engine.device_bucket's 1.25x ladder and
+# pass the TRUE length as a dynamic scalar, so variable-size LZP outputs all
+# share one compiled program per bucket instead of compiling per exact shape.
+#
+# Pad lanes [n, m) are given unique singleton bootstrap keys (see
+# `_bootstrap`), so they are resolved before the first doubling round and
+# never join a real group; their ranks interleave arbitrarily with the real
+# ones (ranks only need to be order-isomorphic on real lanes for doubling),
+# and the extraction displaces them past every real lane with one key bump.
+
+
+def _suffix_array_padded(data: jax.Array, n_valid):
+    """Ranks (ISA, mixed real+pad, unique) of uint8[m] whose true content is
+    data[:n_valid]; fully traceable, same 3-phase round structure as
+    `suffix_array`."""
+    m = data.shape[0]
+    rank, mask = _bootstrap(data, n_valid=n_valid)
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    m1 = min(m, max(4096, m // 4))
+    m2 = min(m, max(4096, m // 32))
+
+    def body_full(state):
+        rank, mask, k, _ = state
+        rank, mask, cnt = _full_round4(rank, k, m, n_valid=n_valid)
+        return rank, mask, k * 4, cnt
+
+    def cond_full(state):
+        _, _, k, cnt = state
+        return (cnt > m1) & (k < 2 * m)
+
+    rank, mask, k, cnt = lax.while_loop(
+        cond_full, body_full, (rank, mask, jnp.int32(_BOOT_DEPTH), cnt))
+
+    uidx = jnp.nonzero(mask, size=m1, fill_value=m)[0].astype(jnp.int32)
+
+    def body_bucket(state):
+        rank, uidx, k, _ = state
+        rank, uidx, cnt = _bucket_round_compact4(rank, uidx, k, m,
+                                                 n_valid=n_valid)
+        return rank, uidx, k * 4, cnt
+
+    def cond_b1(state):
+        _, _, k, cnt = state
+        return (cnt > m2) & (k < 2 * m)
+
+    rank, uidx, k, cnt = lax.while_loop(
+        cond_b1, body_bucket, (rank, uidx, k, cnt))
+
+    sel = jnp.nonzero(uidx < m, size=m2, fill_value=m1)[0].astype(jnp.int32)
+    uidx2 = jnp.take(uidx, sel, mode="fill", fill_value=m)
+
+    def cond_b2(state):
+        _, _, k, cnt = state
+        return (cnt > 0) & (k < 2 * m)
+
+    rank, _, _, _ = lax.while_loop(
+        cond_b2, body_bucket, (rank, uidx2, k, cnt))
+    return rank
+
+
+_MAX_AUX = 16  # (n-1)//aux_rate(n) is in [8, 16] for the format rate
+
+
+def _extract_bwt_padded(data: jax.Array, rank: jax.Array, n_valid, r):
+    """U + primary + aux from mixed real/pad ranks.  Pad lanes are displaced
+    past every real lane by one key bump (final ranks are unique, so
+    rank + m*is_pad keeps real order and pushes pads to the tail), and the
+    sampled dense ranks subtract the pads below them (compare-reduce over
+    the <=17 sample values).  Outputs: U[m] (rows >= n_valid are junk the
+    caller drops), primary, aux int32[16] (caller slices to (n-1)//r)."""
+    m = data.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    is_pad = idx >= n_valid
+
+    prev = jnp.roll(data, 1)
+    prev = prev.at[0].set(jnp.take(data, n_valid - 1))
+    key = rank + jnp.where(is_pad, jnp.int32(m), 0)
+    _, A = lax.sort((key, prev), num_keys=1, is_stable=True)
+
+    t16 = jnp.arange(1, _MAX_AUX + 1, dtype=jnp.int32)
+    spos = jnp.concatenate([jnp.zeros(1, jnp.int32), t16 * r])
+    valid_s = spos < n_valid
+    svals = jnp.take(rank, jnp.minimum(spos, m - 1))
+    pads_below = jnp.sum(
+        (rank[None, :] < svals[:, None]) & is_pad[None, :],
+        axis=1, dtype=jnp.int32)
+    dense = jnp.where(valid_s, svals - pads_below, 0)
+
+    r0 = dense[0]
+    w = jnp.arange(m, dtype=jnp.int32)
+    U = jnp.where(w <= r0, jnp.roll(A, 1), A)
+    U = U.at[0].set(jnp.take(A, r0))
+    return U, r0 + 1, dense[1:]
+
+
+@jax.jit
+def _bwt_encode_padded_jit(data: jax.Array, n_valid, r):
+    rank = _suffix_array_padded(data, n_valid)
+    return _extract_bwt_padded(data, rank, n_valid, r)
+
+
+def bwt_encode_padded(data_padded: jax.Array, n: int, r: int):
+    """Forward BWT of data_padded[:n] through the shape-bucketed program.
+
+    `data_padded` is uint8[m] with m >= n (any fill past n); `n` and `r`
+    (the aux sampling rate, `aux_rate(n)` for the reference format) ride as
+    dynamic scalars, so every (block, LZP-output) size in a bucket shares
+    one compiled program.  Returns (U uint8[m] — first n rows valid,
+    primary int32, aux int32[16] — first (n-1)//r valid), stream convention
+    identical to `bwt_encode` (verified against the native runtime)."""
+    return _bwt_encode_padded_jit(data_padded, jnp.int32(n), jnp.int32(r))
 
 
 # ---------------------------------------------------------------------------
