@@ -1762,60 +1762,85 @@ def _dec_submit(p: dict, interpret: bool):
             "lane_sz": p["lane_sz"]}
 
 
-def _dec_finish(st: dict, interpret: bool) -> bytes:
-    """Sync the record counts, expand records into bytes per group, fetch
-    and join.
+@functools.lru_cache(maxsize=64)
+def _finish_fused_call(MROWS: int, RU: int, NPAD: int, interpret: bool):
+    """ALL-group record expansion in ONE program: [GROUPS, MROWS, 128]
+    records -> uint8[NPAD] decoded block (tail past the true byte count is
+    padding).  One flat stable sort by the composite (group, lane) key
+    reorders every record into global output order — group spans ascend and
+    each group's lanes occupy one contiguous span, so the concatenation of
+    per-(group, lane) runs IS the block — then one jnp.repeat expands runs
+    in place.
 
-    Expansion happens ON DEVICE: a group's lanes occupy one contiguous
-    span of the output (lane regions ascend globally), and the kernel
-    emits each lane's records in stream order — so a stable sort of the
-    records by lane followed by run-length expansion IS the group's
-    output span.  Only decoded bytes cross the tunnel, not the (much
-    larger) record arrays.  Both the record capacity R and the byte pad
-    are sized PER GROUP (geometric 1.25x buckets): lanes are
-    bit-balanced, so group byte sizes skew ~3x and any uniform pad
-    multiplies the repeat work and the D2H by that skew."""
+    Replaces the per-group expand loop (round 4): 8 slice dispatches + 8
+    expand dispatches + 8 fetches per block cost ~465 ms of tunnel round
+    trips on this harness (measured, tools/decodeprof.py round 5) against
+    ~250 ms of actual expand compute.  RU is the record bucket shared by
+    all groups (sized off the max group count, geometric ladder); invalid
+    records sort to their group's tail with length 0, so they expand to
+    nothing."""
+    import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    meta_d, len_d = st["meta_d"], st["len_d"]
+    def fin(meta, len_, counts):
+        # meta/len_: int32[GROUPS, MROWS, 128] row-major packed records;
+        # counts: int32[GROUPS, 128] (lane 0 = the group's record count)
+        mm = meta[:, : RU // 128, :].reshape(GROUPS, RU)
+        ll = len_[:, : RU // 128, :].reshape(GROUPS, RU)
+        ridx = lax.broadcasted_iota(jnp.int32, (GROUPS, RU), 1)
+        valid = ridx < counts[:, 0][:, None]
+        lane = jnp.where(valid, (mm >> 8) & 0x7F, 128)
+        sym = jnp.where(valid, mm & 0xFF, 0)
+        ln = jnp.where(valid, ll, 0)
+        g = lax.broadcasted_iota(jnp.int32, (GROUPS, RU), 0)
+        key = (g * 256 + lane).reshape(GROUPS * RU)
+        _, sym_s, len_s = lax.sort(
+            (key, sym.reshape(GROUPS * RU), ln.reshape(GROUPS * RU)),
+            num_keys=1, is_stable=True)
+        return jnp.repeat(sym_s.astype(jnp.uint8), len_s,
+                          total_repeat_length=NPAD)
+
+    del interpret  # plain jnp ops; same path under test and on device
+    return jax.jit(fin)
+
+
+def _finish_shapes(st: dict):
     counts = np.asarray(st["counts_d"])[:, 0]
     gb = st["lane_sz"].reshape(GROUPS, 128).sum(axis=1).astype(np.int64)
-    Rcap = meta_d.shape[1] * 128
-    parts = []
-    for g in range(GROUPS):
-        used_g = (int(counts[g]) // 128 + 9) * 128
-        R = min(_geom_bucket(used_g, 2048), Rcap)
-        GBpad = _geom_bucket(int(gb[g]), 1 << 10, step=1)
-        out_g = _post_expand_call(R, GBpad, interpret)(
-            meta_d[g, : R // 128, :].reshape(R),
-            len_d[g, : R // 128, :].reshape(R),
-            jnp.int32(int(counts[g])))
-        parts.append(out_g)
-    return b"".join(np.asarray(p)[: gb[g]].tobytes()
-                    for g, p in enumerate(parts))
+    n = int(gb.sum())
+    MROWS = int(st["meta_d"].shape[1])
+    used = (int(counts.max()) // 128 + 9) * 128
+    RU = min(_geom_bucket(used, 2048), MROWS * 128)
+    NPAD = _geom_bucket(n, 1 << 16)
+    return n, MROWS, RU, NPAD
+
+
+def _dec_expand(st: dict, interpret: bool):
+    """Sync the record counts and dispatch the fused expansion; returns
+    (device uint8[NPAD] block, true byte count) WITHOUT fetching — the
+    caller overlaps the D2H with later work."""
+    n, MROWS, RU, NPAD = _finish_shapes(st)
+    out = _finish_fused_call(MROWS, RU, NPAD, interpret)(
+        st["meta_d"], st["len_d"], st["counts_d"])
+    return out, n
+
+
+def _dec_finish(st: dict, interpret: bool) -> bytes:
+    """Sync the record counts, expand ALL groups' records into the block's
+    bytes with one fused program (see `_finish_fused_call`), fetch once."""
+    out, n = _dec_expand(st, interpret)
+    return np.asarray(out)[:n].tobytes()
 
 
 def _dec_finish_device(st: dict, interpret: bool):
     """_dec_finish variant that KEEPS the decoded block in HBM: returns a
     device uint8[n] array (the composed decode pipeline chains the wideaux
     inverse BWT on it without a D2H/H2D round trip of the block)."""
-    import jax.numpy as jnp
-
-    meta_d, len_d = st["meta_d"], st["len_d"]
-    counts = np.asarray(st["counts_d"])[:, 0]
-    gb = st["lane_sz"].reshape(GROUPS, 128).sum(axis=1).astype(np.int64)
-    Rcap = meta_d.shape[1] * 128
-    parts = []
-    for g in range(GROUPS):
-        used_g = (int(counts[g]) // 128 + 9) * 128
-        R = min(_geom_bucket(used_g, 2048), Rcap)
-        GBpad = _geom_bucket(int(gb[g]), 1 << 10, step=1)
-        out_g = _post_expand_call(R, GBpad, interpret)(
-            meta_d[g, : R // 128, :].reshape(R),
-            len_d[g, : R // 128, :].reshape(R),
-            jnp.int32(int(counts[g])))
-        parts.append(out_g[: int(gb[g])])
-    return jnp.concatenate(parts)
+    n, MROWS, RU, NPAD = _finish_shapes(st)
+    out = _finish_fused_call(MROWS, RU, NPAD, interpret)(
+        st["meta_d"], st["len_d"], st["counts_d"])
+    return out[:n]
 
 
 def device_decode_resident(payload: bytes, interpret: bool = False):
@@ -1837,23 +1862,74 @@ def device_decode(payload: bytes, interpret: bool = False):
 
 
 def device_decode_many(payloads, interpret: bool = False):
-    """Pipelined wide decode of several payloads: block i+1's unit stream
-    is H2D'd and its kernels queued BEFORE block i's record-count sync, so
-    the chip runs back-to-back decode kernels while the host feeds and
-    drains — the decode counterpart of device_encode_many (the reference
-    overlaps its device stages the same way, st.cu:372-387).  Returns a
-    list of decoded bytes (None where a payload is not kernel-decodable)."""
+    """Pipelined wide decode of several payloads, three overlapped legs
+    (the decode counterpart of device_encode_many; the reference overlaps
+    its device stages the same way, st.cu:372-387):
+
+    - main thread: parse + H2D block i, expand-dispatch block i-1, submit
+      block i's kernels.  The expand for i-1 is queued BEFORE block i's
+      kernels so the in-order device queue cannot delay it behind them.
+    - fetcher thread: D2H of block i-1's expanded bytes while the chip
+      decodes block i and the main thread preps block i+1 — the 16 MB
+      result transfer is the longest host-side leg, so it gets its own
+      thread instead of serializing the submit loop.
+
+    Returns a list of decoded bytes (None where a payload is not
+    kernel-decodable)."""
+    import queue
+    import threading
+
     results: list = [None] * len(payloads)
-    pending: list = []  # [(index, in-flight state)], oldest first
-    for i, payload in enumerate(payloads):
-        parsed = _dec_parse(payload)
-        if parsed is None:
-            continue
-        # depth 2: one block computing, one queued behind it
-        while len(pending) >= 2:
-            j, st = pending.pop(0)
-            results[j] = _dec_finish(st, interpret)
-        pending.append((i, _dec_submit(parsed, interpret)))
-    for j, st in pending:
-        results[j] = _dec_finish(st, interpret)
+    fetch_q: "queue.Queue" = queue.Queue(maxsize=4)
+    errs: list = []
+
+    def fetcher():
+        while True:
+            item = fetch_q.get()
+            if item is None:
+                return
+            j, out_d, nb = item
+            try:
+                results[j] = np.asarray(out_d)[:nb].tobytes()
+            except Exception as e:  # record + exit; producer checks errs
+                errs.append(e)
+                return
+
+    def put_checked(item):
+        # bounded put that cannot deadlock on a dead fetcher
+        while True:
+            if errs:
+                raise errs[0]
+            try:
+                fetch_q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=fetcher, daemon=True)
+    t.start()
+    pending = None  # (index, in-flight kernel state)
+    try:
+        for i, payload in enumerate(payloads):
+            parsed = _dec_parse(payload)
+            if pending is not None:
+                pi, pst = pending
+                pending = None
+                put_checked((pi,) + _dec_expand(pst, interpret))
+            if parsed is not None:
+                pending = (i, _dec_submit(parsed, interpret))
+        if pending is not None:
+            pi, pst = pending
+            pending = None
+            put_checked((pi,) + _dec_expand(pst, interpret))
+    finally:
+        while not errs:
+            try:
+                fetch_q.put(None, timeout=0.2)
+                break
+            except queue.Full:
+                continue
+        t.join()
+    if errs:
+        raise errs[0]
     return results

@@ -303,14 +303,15 @@ def test_wide_device_decode_many_pipeline(monkeypatch):
         assert len(inflight) <= 2
         return {"tag": parsed["tag"]}
 
-    def fake_finish(st, interpret):
+    def fake_expand(st, interpret):
         inflight.remove(st["tag"])
         finished.append(st["tag"])
-        return b"out-%d" % st["tag"]
+        out = np.frombuffer(b"out-%d" % st["tag"], dtype=np.uint8)
+        return out, out.size
 
     monkeypatch.setattr(wide_kernels, "_dec_parse", fake_parse)
     monkeypatch.setattr(wide_kernels, "_dec_submit", fake_submit)
-    monkeypatch.setattr(wide_kernels, "_dec_finish", fake_finish)
+    monkeypatch.setattr(wide_kernels, "_dec_expand", fake_expand)
 
     outs = wide_kernels.device_decode_many([0, None, 1, 2, None, 3])
     assert outs == [b"out-0", None, b"out-1", b"out-2", None, b"out-3"]

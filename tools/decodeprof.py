@@ -95,30 +95,20 @@ def main():
     st = {"meta_d": meta_d, "len_d": len_d, "counts_d": counts_d,
           "lane_sz": p["lane_sz"]}
 
-    counts = np.asarray(counts_d)[:, 0]
-    gb = p["lane_sz"].reshape(WK.GROUPS, 128).sum(axis=1).astype(np.int64)
-    Rcap = meta_d.shape[1] * 128
+    nb, MROWS, RU, NPAD = WK._finish_shapes(st)
+    print(f"  finish shapes: MROWS={MROWS} RU={RU} NPAD={NPAD}", flush=True)
 
-    def expand_all():
-        parts = []
-        for g in range(WK.GROUPS):
-            used_g = (int(counts[g]) // 128 + 9) * 128
-            R = min(WK._geom_bucket(used_g, 2048), Rcap)
-            GBpad = WK._geom_bucket(int(gb[g]), 1 << 10, step=1)
-            out_g = WK._post_expand_call(R, GBpad, False)(
-                meta_d[g, : R // 128, :].reshape(R),
-                len_d[g, : R // 128, :].reshape(R),
-                jnp.int32(int(counts[g])))
-            parts.append(out_g)
-        _ = int(parts[-1][0])
-        return parts
-    t("post-expand x8 (dispatch+compute)", expand_all)
-    parts = expand_all()
+    def expand_fused():
+        out = WK._finish_fused_call(MROWS, RU, NPAD, False)(
+            meta_d, len_d, counts_d)
+        _ = int(out[0])
+        return out
+    t("fused expand (1 dispatch)", expand_fused)
+    out_d = expand_fused()
 
     def d2h():
-        return b"".join(np.asarray(pt)[: gb[g]].tobytes()
-                        for g, pt in enumerate(parts))
-    t("D2H bytes x8", d2h)
+        return np.asarray(out_d)[:nb].tobytes()
+    t("D2H bytes", d2h)
 
     def finish():
         return WK._dec_finish(st, False)
