@@ -877,11 +877,14 @@ def device_measures(data: bytes) -> dict:
     """All accelerator-dependent measurements, each individually guarded —
     one flaky section must not cost the others."""
     out = {}
+    # Order = priority under the time budget: the two flagship farm
+    # operating points (fused device pipeline; default-config accelerated
+    # farm) must land before the micro-benches can eat the budget.
     for key, fn in (("farm_device_e2e", measure_farm_device),
-                    ("farm_st8_tpu", measure_farm),
+                    ("farm_bwt_tpu", measure_farm_bwt),
                     ("wide_coder_onchip", measure_wide),
-                    ("device_bwt_onchip", measure_device_bwt),
-                    ("farm_bwt_tpu", measure_farm_bwt)):
+                    ("farm_st8_tpu", measure_farm),
+                    ("device_bwt_onchip", measure_device_bwt)):
         try:
             res = fn(data)
         except Exception:
