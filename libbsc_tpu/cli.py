@@ -207,9 +207,17 @@ def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
 
         if p.gpu and p.parallel:
             # heterogeneous farm: device-sort workers + a native worker pull
-            # from one bounded queue (host coder overlaps device transfers)
+            # from one bounded queue (host coder overlaps device transfers).
+            # -G accelerates the DEFAULT config unchanged, the reference's
+            # CUDA semantics (bwt/bwt.cpp:178-181): the device workers route
+            # BWT through the shape-bucketed device program (opt-in bit the
+            # engine checks per call; the native worker's features lack
+            # FEATURE_CUDA, so it stays on host SA-IS).
             import queue as _queue
 
+            _bwtdev_prev = os.environ.get("TBSC_BWT_DEVICE")
+            if p.block_sorter == C.BLOCKSORTER_BWT:
+                os.environ["TBSC_BWT_DEVICE"] = "1"
             jobs: "_queue.Queue" = _queue.Queue(maxsize=8)
             SENTINEL = object()
             feats = [p.features() for _ in range(3)] + [p.features() & ~C.FEATURE_CUDA]
@@ -243,20 +251,26 @@ def compress_file(inp: str, outp: str, p: Params, quiet: bool = False) -> None:
                             pass
                         return
 
-            with ThreadPoolExecutor(max_workers=len(feats)) as ex:
-                futs = [ex.submit(worker, f) for f in feats]
-                for offset, data in read_blocks():
-                    if errors:
-                        break
-                    while not errors:
-                        try:
-                            jobs.put((offset, data), timeout=0.2)
+            try:
+                with ThreadPoolExecutor(max_workers=len(feats)) as ex:
+                    futs = [ex.submit(worker, f) for f in feats]
+                    for offset, data in read_blocks():
+                        if errors:
                             break
-                        except _queue.Full:
-                            continue
-                jobs.put(SENTINEL)
-                for f in futs:
-                    f.result()
+                        while not errors:
+                            try:
+                                jobs.put((offset, data), timeout=0.2)
+                                break
+                            except _queue.Full:
+                                continue
+                    jobs.put(SENTINEL)
+                    for f in futs:
+                        f.result()
+            finally:
+                if _bwtdev_prev is None:
+                    os.environ.pop("TBSC_BWT_DEVICE", None)
+                else:
+                    os.environ["TBSC_BWT_DEVICE"] = _bwtdev_prev
             if errors:
                 raise errors[0]
         else:

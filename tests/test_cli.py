@@ -197,6 +197,58 @@ def test_cli_farm_path_roundtrip(tmp_path, rng):
     assert restored.read_bytes() == data
 
 
+def test_cli_gpu_default_config_identical_bytes(tmp_path, rng, monkeypatch):
+    """-G on the DEFAULT config must produce the archive the host path
+    produces, byte for byte — the reference's CUDA flag accelerates the
+    default config unchanged (bwt/bwt.cpp:178-181).  TBSC_ENGINE=ops makes
+    the device workers take the real ops route on the CPU backend, through
+    the shape-bucketed padded BWT."""
+    from libbsc_tpu import cli, engine
+
+    data = make_corpus(rng, 2 * (1 << 20) + 4321, "text")
+    inp = tmp_path / "in.bin"
+    inp.write_bytes(data)
+
+    host_arch = tmp_path / "host.bsc"
+    p = cli.Params()
+    p.block_size = 1 << 20
+    cli.compress_file(str(inp), str(host_arch), p, quiet=True)
+
+    monkeypatch.setattr(engine, "_force", "ops")
+    monkeypatch.setattr(engine, "_device", None)
+    dev_arch = tmp_path / "dev.bsc"
+    q = cli.Params()
+    q.block_size = 1 << 20
+    q.gpu = True
+    cli.compress_file(str(inp), str(dev_arch), q, quiet=True)
+    assert os.environ.get("TBSC_BWT_DEVICE") is None  # restored
+
+    # the farm writes blocks as they finish (out of order, each with its
+    # absolute offset — the reference does the same, bsc.cpp:397-418), so
+    # compare per-block container entries, not raw file bytes
+    def blocks_of(path):
+        import struct as st
+
+        raw = path.read_bytes()
+        assert raw[:4] == b"bsc1"
+        (nb,) = st.unpack_from("<i", raw, 4)
+        off, out = 8, {}
+        for _ in range(nb):
+            boff, rs, ctx = st.unpack_from(cli.BLOCK_HEADER_FMT, raw, off)
+            off += cli.BLOCK_HEADER_SIZE
+            (csz,) = st.unpack_from("<i", raw, off)
+            out[boff] = (rs, ctx, raw[off:off + csz])
+            off += csz
+        assert off == len(raw)
+        return out
+
+    assert blocks_of(dev_arch) == blocks_of(host_arch)
+    restored = tmp_path / "r.bin"
+    cli.decompress_file(str(dev_arch), str(restored), cli.Params(),
+                        quiet=True)
+    assert restored.read_bytes() == data
+
+
 @pytest.mark.parametrize("flags", [["-r"], ["-cp"], ["-ca"]])
 def test_cli_container_fields_reference_interop(tmp_path, rng, flags):
     """recordSize / sortingContexts container fields: cross-decode both
