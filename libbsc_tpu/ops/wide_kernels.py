@@ -222,6 +222,7 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
     def kernel(pk_ref, out_ref, counts_ref, flow_ref,
                probs, low_s, rng_s, stA, stB, fills, tile, rowcnt, tilecnt,
                phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s,
+               pctx_s, pbit_s, pprev_s,
                sem):
         step = pl.program_id(0)
 
@@ -236,8 +237,9 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             fills[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             phase_s[...] = jnp.zeros((GROUPS, 128), jnp.int32)  # PH_RFLAG
             for ref in (t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s,
-                        pub_s):
+                        pub_s, pbit_s, pprev_s):
                 ref[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+            pctx_s[...] = jnp.full((GROUPS, 128), 511, jnp.int32)
             for g in range(GROUPS):
                 rowcnt[g] = 0
                 tilecnt[g] = 0
@@ -275,15 +277,22 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             ctx = _sm_ctx(phase, t, brs, val0, rank0, rh, uh, prb, pub,
                           active)
 
-            # one-hot model lookup + update over the context axis
+            # one-hot model lookup over the context axis, fused with the
+            # PREVIOUS bit's deferred update (computed once per lane from
+            # last iteration's looked-up p and bit — see the decode
+            # kernel); inactive lanes carry the 511 sink ctx.
+            pctx = pctx_s[...]
+            pprev = pprev_s[...]
+            updv = jnp.where(pbit_s[...] == 1, pprev - (pprev >> 5),
+                             pprev + ((4096 - pprev) >> 5))
             p = jnp.zeros((GROUPS, 128), jnp.int32)
             for c in range(NCTX):
-                pc = probs[c]
-                m = ctx == c
-                p = jnp.where(m, pc, p)
-                upd = jnp.where(bit == 1, pc - (pc >> 5),
-                                pc + ((4096 - pc) >> 5))
-                probs[c] = jnp.where(m & active, upd, pc)
+                pc = jnp.where(pctx == c, updv, probs[c])
+                probs[c] = pc
+                p = jnp.where(ctx == c, pc, p)
+            pctx_s[...] = ctx
+            pbit_s[...] = jnp.where(active, bit, 0)
+            pprev_s[...] = p
 
             low = low_s[...]
             rng = rng_s[...]
@@ -398,7 +407,7 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             pltpu.SMEM((GROUPS,), jnp.int32),             # rowcnt
             pltpu.SMEM((GROUPS,), jnp.int32),             # tilecnt
         ] + [pltpu.VMEM((GROUPS, 128), jnp.int32)
-             for _ in range(9)]                            # state machine
+             for _ in range(12)]                           # state machine
         + [pltpu.SemaphoreType.DMA],
     )
 
@@ -442,7 +451,8 @@ def _build_model_kernel(TI: int, IT: int, interpret: bool):
     n_steps = IT // TI
 
     def kernel(pk_ref, pp_ref, probs,
-               phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s):
+               phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s,
+               pctx_s, pbit_s, pprev_s):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -450,8 +460,9 @@ def _build_model_kernel(TI: int, IT: int, interpret: bool):
             for c in range(NCTX):
                 probs[c] = jnp.full((GROUPS, 128), _PRIORS[c], jnp.int32)
             for ref in (phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s,
-                        prb_s, pub_s):
+                        prb_s, pub_s, pbit_s, pprev_s):
                 ref[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+            pctx_s[...] = jnp.full((GROUPS, 128), 511, jnp.int32)
 
         def row_body(i, _):
             byte = pk_ref[i >> 2].astype(jnp.int32)
@@ -471,15 +482,24 @@ def _build_model_kernel(TI: int, IT: int, interpret: bool):
             ctx = _sm_ctx(phase, t, brs, val0, rank0, rh, uh, prb, pub,
                           active)
 
+            # deferred one-iteration model update (same trick as the
+            # decode kernel): the new value of the single touched row is
+            # computed once per lane from last iteration's (p, bit) and
+            # merged into this iteration's table walk — one pass over the
+            # 281 context planes instead of lookup + update work per c.
+            pctx = pctx_s[...]
+            pprev = pprev_s[...]
+            updv = jnp.where(pbit_s[...] == 1, pprev - (pprev >> 5),
+                             pprev + ((4096 - pprev) >> 5))
             p = jnp.zeros((GROUPS, 128), jnp.int32)
             for c in range(NCTX):
-                pc = probs[c]
-                m = ctx == c
-                p = jnp.where(m, pc, p)
-                upd = jnp.where(bit == 1, pc - (pc >> 5),
-                                pc + ((4096 - pc) >> 5))
-                probs[c] = jnp.where(m & active, upd, pc)
+                pc = jnp.where(pctx == c, updv, probs[c])
+                probs[c] = pc
+                p = jnp.where(ctx == c, pc, p)
             pp_ref[i] = p
+            pctx_s[...] = ctx
+            pbit_s[...] = jnp.where(active, bit, 0)
+            pprev_s[...] = p
 
             np_, nt, nbrs, nval, nrank, nrh, nuh, nprb, npub = _sm_next(
                 phase, t, brs, val0, rank0, rh, uh, prb, pub, bit, active)
@@ -504,7 +524,7 @@ def _build_model_kernel(TI: int, IT: int, interpret: bool):
         ],
         out_specs=pl.BlockSpec((TI, GROUPS, 128), lambda s: (s, 0, 0)),
         scratch_shapes=[pltpu.VMEM((NCTX, GROUPS, 128), jnp.int32)]
-        + [pltpu.VMEM((GROUPS, 128), jnp.int32) for _ in range(9)],
+        + [pltpu.VMEM((GROUPS, 128), jnp.int32) for _ in range(12)],
     )
 
     return jax.jit(functools.partial(
@@ -1114,7 +1134,13 @@ def _assemble(n: int, units: np.ndarray, counts: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
-                         interpret: bool, rans: bool = False):
+                         interpret: bool, rans: bool = False,
+                         ablate: frozenset = frozenset()):
+    """`ablate` is a measurement-only knob (tools/decablate.py): names in
+    the set stub out kernel stages ("walk", "refill", "mtf", "emit") so
+    their on-chip cost can be attributed by differencing variants.  The
+    production path always passes the empty set; ablated variants decode
+    garbage by design."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -1183,7 +1209,7 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                meta_hbm, len_hbm, counts_ref,
                probs, low_s, rng_s, code_s, mtf, symtmp,
                phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s,
-               left_s,
+               left_s, pctx_s, pbit_s, pprev_s,
                win, wof_s,
                mA, mB, mF, mTile, lA, lB, lF, lTile,
                mRow, mTc, lRow, lTc, wTile, sem):
@@ -1200,8 +1226,10 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             code_s[...] = warm_ref[...]
             lsz = lsz_ref[...]
             phase_s[...] = jnp.where(lsz > 0, PH_RFLAG, PH_DONE)
-            for ref in (t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s):
+            for ref in (t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s,
+                        pbit_s, pprev_s):
                 ref[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+            pctx_s[...] = jnp.full((GROUPS, 128), 511, jnp.int32)
             left_s[...] = lsz
             wof_s[...] = goff_ref[...]
             for ref in (mA, mB, lA, lB):
@@ -1293,10 +1321,28 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                           249 + 16 * (brs > 3).astype(jnp.int32) + jnp.minimum(val0, 15))))))
             ctx = jnp.where(active, ctx, 511)
 
-            # probability lookup
-            p = jnp.zeros((GROUPS, 128), jnp.int32)
-            for c in range(NCTX):
-                p = jnp.where(ctx == c, probs[c], p)
+            # probability lookup, fused with the PREVIOUS bit's model
+            # update.  The decoder cannot fuse same-iteration (the bit
+            # depends on p), but the update touches exactly one context
+            # row per lane and its new value depends only on last
+            # iteration's looked-up probability and decoded bit — so it
+            # is computed ONCE per lane here and merged into this
+            # iteration's table walk, halving the dominant per-bit cost
+            # (two NCTX=281 select loops -> one).  The final iteration's
+            # pending update is dropped: nothing reads the model after
+            # the last bit.
+            if "walk" in ablate:
+                p = jnp.full((GROUPS, 128), 2048, jnp.int32) + (ctx & 1)
+            else:
+                pctx = pctx_s[...]
+                pprev = pprev_s[...]
+                updv = jnp.where(pbit_s[...] == 1, pprev - (pprev >> 5),
+                                 pprev + ((4096 - pprev) >> 5))
+                p = jnp.zeros((GROUPS, 128), jnp.int32)
+                for c in range(NCTX):
+                    pc = jnp.where(pctx == c, updv, probs[c])
+                    probs[c] = pc
+                    p = jnp.where(ctx == c, pc, p)
 
             code = code_s[...]
             if rans:
@@ -1336,53 +1382,60 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                 low_s[...] = jnp.where(ren, low2 << 16, low2)
                 rng_s[...] = jnp.where(ren, rng2 << 16, rng2)
 
-            # model update
-            for c in range(NCTX):
-                pc = probs[c]
-                m = (ctx == c) & active
-                upd = jnp.where(bit == 1, pc - (pc >> 5),
-                                pc + ((4096 - pc) >> 5))
-                probs[c] = jnp.where(m, upd, pc)
+            # model update is deferred into the next iteration's table
+            # walk (see above); stash this bit's (ctx, bit, p).  Inactive
+            # lanes carry the 511 sentinel in ctx, so they never match.
+            if "walk" not in ablate:
+                pctx_s[...] = ctx
+                pbit_s[...] = bit
+                pprev_s[...] = p
 
             # refill: the renormalizing lanes consume the group's next m
             # stream units in lane order
             ren_i = ren.astype(jnp.int32)
-            wof = wof_s[...]
-            o = wof & 127
-            srow = wof >> 7  # logical window row [0, 16)
-            rowA = jnp.zeros((GROUPS, 128), jnp.int32)
-            rowB = jnp.zeros((GROUPS, 128), jnp.int32)
-            for rr in range(16):
-                sel = srow == rr
-                rowA = jnp.where(sel, win[:, rr, :][:, None, :]
-                                 .reshape(GROUPS, 128), rowA)
-                nxt = (rr + 1) % 16
-                rowB = jnp.where(sel, win[:, nxt, :][:, None, :]
-                                 .reshape(GROUPS, 128), rowB)
-            sshift = (128 - o) & 127
-            pos = lane_iota()
-            aligned = jnp.where(pos < 128 - o,
-                                varroll(rowA, sshift), varroll(rowB, sshift))
-            unit = expand(aligned, ren_i)
-            xcur = x1 if rans else code
-            code_s[...] = jnp.where(
-                ren, (xcur << 16) | unit.astype(u32), xcur)
-            m_g = jnp.sum(ren_i, axis=1, keepdims=True)
-            wof2 = wof + m_g
-            wof_s[...] = jnp.where(wof2 >= 1024, wof2 - 1024, wof2)
-            for g in range(GROUPS):
-                @pl.when(wof2[g, 0] >= 1024)
-                def _(g=g):
-                    # slide the window one tile: rows 8..15 -> 0..7, load next
-                    for rr in range(8):
-                        win[g, rr, :] = win[g, rr + 8, :]
-                    wt = wTile[g]
-                    cp = pltpu.make_async_copy(
-                        stream_hbm.at[g, pl.ds(wt * 8, 8), :],
-                        win.at[g, pl.ds(8, 8), :], sem)
-                    cp.start()
-                    cp.wait()
-                    wTile[g] = wt + 1
+            if "refill" in ablate:
+                xcur = x1 if rans else code
+                code_s[...] = jnp.where(
+                    ren, (xcur << 16) | jnp.uint32(1), xcur)
+            else:
+                wof = wof_s[...]
+                o = wof & 127
+                srow = wof >> 7  # logical window row [0, 16)
+                rowA = jnp.zeros((GROUPS, 128), jnp.int32)
+                rowB = jnp.zeros((GROUPS, 128), jnp.int32)
+                for rr in range(16):
+                    sel = srow == rr
+                    rowA = jnp.where(sel, win[:, rr, :][:, None, :]
+                                     .reshape(GROUPS, 128), rowA)
+                    nxt = (rr + 1) % 16
+                    rowB = jnp.where(sel, win[:, nxt, :][:, None, :]
+                                     .reshape(GROUPS, 128), rowB)
+                sshift = (128 - o) & 127
+                pos = lane_iota()
+                aligned = jnp.where(pos < 128 - o,
+                                    varroll(rowA, sshift),
+                                    varroll(rowB, sshift))
+                unit = expand(aligned, ren_i)
+                xcur = x1 if rans else code
+                code_s[...] = jnp.where(
+                    ren, (xcur << 16) | unit.astype(u32), xcur)
+                m_g = jnp.sum(ren_i, axis=1, keepdims=True)
+                wof2 = wof + m_g
+                wof_s[...] = jnp.where(wof2 >= 1024, wof2 - 1024, wof2)
+                for g in range(GROUPS):
+                    @pl.when(wof2[g, 0] >= 1024)
+                    def _(g=g):
+                        # slide the window one tile: rows 8..15 -> 0..7,
+                        # load next
+                        for rr in range(8):
+                            win[g, rr, :] = win[g, rr + 8, :]
+                        wt = wTile[g]
+                        cp = pltpu.make_async_copy(
+                            stream_hbm.at[g, pl.ds(wt * 8, 8), :],
+                            win.at[g, pl.ds(8, 8), :], sem)
+                        cp.start()
+                        cp.wait()
+                        wTile[g] = wt + 1
 
             # ---- state machine ----
             is_rf = active & (phase == PH_RFLAG)
@@ -1485,37 +1538,42 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             # scalar guard only when some lane actually needs them.
             comp_i = comp.astype(jnp.int32)
             crank = jnp.where(comp, nrank, -1)
-            mr = jnp.max(crank)
-            sym = jnp.zeros((GROUPS, 128), jnp.int32)
-            for rr in range(32):
-                sym = jnp.where(crank == rr, mtf[rr], sym)
-            symtmp[...] = sym
-            old31 = mtf[31]
+            if "mtf" in ablate:
+                sym = crank & 0xFF
+            else:
+                mr = jnp.max(crank)
+                sym = jnp.zeros((GROUPS, 128), jnp.int32)
+                for rr in range(32):
+                    sym = jnp.where(crank == rr, mtf[rr], sym)
+                symtmp[...] = sym
+                old31 = mtf[31]
 
-            @pl.when(mr >= 32)
-            def _high_pick():
-                s2 = symtmp[...]
-                for rr in range(32, 256):
-                    s2 = jnp.where(crank == rr, mtf[rr], s2)
-                symtmp[...] = s2
+                @pl.when(mr >= 32)
+                def _high_pick():
+                    s2 = symtmp[...]
+                    for rr in range(32, 256):
+                        s2 = jnp.where(crank == rr, mtf[rr], s2)
+                    symtmp[...] = s2
 
-            # mtf shift: entries 1..rank move down, picked symbol to front
-            prev = mtf[0]
-            for rr in range(1, 32):
-                cur = mtf[rr]
-                mtf[rr] = jnp.where(comp & (rr <= crank), prev, cur)
-                prev = cur
-
-            @pl.when(mr >= 32)
-            def _high_shift():
-                prev2 = old31
-                for rr in range(32, 256):
+                # mtf shift: entries 1..rank move down, picked symbol to
+                # front
+                prev = mtf[0]
+                for rr in range(1, 32):
                     cur = mtf[rr]
-                    mtf[rr] = jnp.where(comp & (rr <= crank), prev2, cur)
-                    prev2 = cur
+                    mtf[rr] = jnp.where(comp & (rr <= crank), prev, cur)
+                    prev = cur
 
-            sym = symtmp[...]
-            mtf[0] = jnp.where(comp, sym, mtf[0])
+                @pl.when(mr >= 32)
+                def _high_shift():
+                    prev2 = old31
+                    for rr in range(32, 256):
+                        cur = mtf[rr]
+                        mtf[rr] = jnp.where(comp & (rr <= crank), prev2,
+                                            cur)
+                        prev2 = cur
+
+                sym = symtmp[...]
+                mtf[0] = jnp.where(comp, sym, mtf[0])
 
             left = left_s[...]
             runlen = jnp.where(comp, jnp.minimum(runlen, left), runlen)
@@ -1533,14 +1591,25 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             pub_s[...] = npub
 
             meta = sym | (lane_iota() << 8)
-            stage_emit(meta, comp_i, mA, mB, mF, mTile, mRow, mTc, meta_hbm)
-            stage_emit(runlen, comp_i, lA, lB, lF, lTile, lRow, lTc, len_hbm)
+            if "emit" in ablate:
+                # keep sym/runlen live (fold into a scratch the finish
+                # step writes out) so ablating the emit staging does not
+                # DCE the upstream MTF work
+                mA[...] = mA[...] ^ meta ^ runlen
+            else:
+                stage_emit(meta, comp_i, mA, mB, mF, mTile, mRow, mTc,
+                           meta_hbm)
+                stage_emit(runlen, comp_i, lA, lB, lF, lTile, lRow, lTc,
+                           len_hbm)
             return 0
 
         lax.fori_loop(0, TI, row_body, 0)
 
         @pl.when(step == n_steps - 1)
         def _finish():
+            if "emit" in ablate:
+                counts_ref[...] = mA[...]
+                return
             for g in range(GROUPS):
                 cnt = mTc[g] * 1024 + mRow[g] * 128 + mF[g, 0]
                 counts_ref[g, :] = jnp.full((128,), cnt, jnp.int32)
@@ -1583,7 +1652,7 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
              pltpu.VMEM((GROUPS, 128), jnp.uint32),
              pltpu.VMEM((256, GROUPS, 128), jnp.int32),
              pltpu.VMEM((GROUPS, 128), jnp.int32)] +
-            [pltpu.VMEM((GROUPS, 128), jnp.int32) for _ in range(10)] +
+            [pltpu.VMEM((GROUPS, 128), jnp.int32) for _ in range(13)] +
             [pltpu.VMEM((GROUPS, 16, 128), jnp.int32),       # window
              pltpu.VMEM((GROUPS, 128), jnp.int32)] +         # wof
             [pltpu.VMEM((GROUPS, 128), jnp.int32),           # mA
@@ -1613,8 +1682,9 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
 
 @functools.lru_cache(maxsize=16)
 def _decoder_call(TI: int, IT: int, SROWS: int, MROWS: int, interpret: bool,
-                  rans: bool = False):
-    return _build_decode_kernel(TI, IT, SROWS, MROWS, interpret, rans)
+                  rans: bool = False, ablate: frozenset = frozenset()):
+    return _build_decode_kernel(TI, IT, SROWS, MROWS, interpret, rans,
+                                ablate)
 
 
 @functools.lru_cache(maxsize=32)
