@@ -323,7 +323,8 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             f = fills[...]
             valid0 = pos < m_row  # packed occupancy at the row front
             rolled = varroll(jnp.where(valid0, packed, 0), f)
-            occr = varroll(valid0.astype(jnp.int32), f) == 1
+            # rotated prefix mask, arithmetically (no varroll)
+            occr = ((pos - f) & 127) < m_row
             inA = occr & (pos >= f)
             inB = occr & (pos < f)
             stA[...] = jnp.where(inA, rolled, stA[...])
@@ -657,7 +658,8 @@ def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             fl = fills[...]
             valid0 = (pos < m_row).astype(jnp.int32)
             rolled = varroll(jnp.where(valid0 == 1, packed, 0), fl)
-            occr = varroll(valid0, fl)
+            # rotated prefix mask, arithmetically (no varroll)
+            occr = (((pos - fl) & 127) < m_row).astype(jnp.int32)
             inA = (occr == 1) & (pos >= fl)
             inB = (occr == 1) & (pos < fl)
             stA[...] = jnp.where(inA, rolled, stA[...])
@@ -1206,13 +1208,13 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
         range(7)
 
     def kernel(warm_ref, goff_ref, lsz_ref, stream_hbm,
-               meta_hbm, len_hbm, counts_ref,
+               rec_hbm, counts_ref, last_ref,
                probs, low_s, rng_s, code_s, mtf, symtmp,
                phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s,
-               left_s, pctx_s, pbit_s, pprev_s,
+               left_s, pctx_s, pbit_s, pprev_s, pos_s, last_s,
                win, wof_s,
-               mA, mB, mF, mTile, lA, lB, lF, lTile,
-               mRow, mTc, lRow, lTc, wTile, sem):
+               mA, mB, mF, mTile,
+               mRow, mTc, wTile, sem):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -1227,20 +1229,20 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             lsz = lsz_ref[...]
             phase_s[...] = jnp.where(lsz > 0, PH_RFLAG, PH_DONE)
             for ref in (t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s,
-                        pbit_s, pprev_s):
+                        pbit_s, pprev_s, last_s):
                 ref[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             pctx_s[...] = jnp.full((GROUPS, 128), 511, jnp.int32)
             left_s[...] = lsz
+            # each lane's next output position WITHIN its group =
+            # exclusive prefix of the group's lane sizes
+            pos_s[...] = prefix_row(lsz) - lsz
             wof_s[...] = goff_ref[...]
-            for ref in (mA, mB, lA, lB):
+            for ref in (mA, mB):
                 ref[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             mF[...] = jnp.zeros((GROUPS, 128), jnp.int32)
-            lF[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             for g in range(GROUPS):
                 mRow[g] = 0
                 mTc[g] = 0
-                lRow[g] = 0
-                lTc[g] = 0
                 wTile[g] = 2
             # preload the first two stream tiles per group
             for g in range(GROUPS):
@@ -1261,7 +1263,9 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             f = F[...]
             valid0 = (pos < m_row).astype(jnp.int32)
             rolled = varroll(jnp.where(valid0 == 1, packed, 0), f)
-            occr = varroll(valid0, f)
+            # occupancy-after-rotation is arithmetic (a rotated prefix
+            # mask), no varroll needed: occr[i] = ((i - f) mod 128) < m
+            occr = (((pos - f) & 127) < m_row).astype(jnp.int32)
             inA = (occr == 1) & (pos >= f)
             inB = (occr == 1) & (pos < f)
             A[...] = jnp.where(inA, rolled, A[...])
@@ -1410,11 +1414,13 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                     nxt = (rr + 1) % 16
                     rowB = jnp.where(sel, win[:, nxt, :][:, None, :]
                                      .reshape(GROUPS, 128), rowB)
+                # one rotation instead of two: merge A/B in UNROTATED
+                # space (index j takes rowA when j >= o, the wrapped
+                # rowB below o), then rotate once
                 sshift = (128 - o) & 127
                 pos = lane_iota()
-                aligned = jnp.where(pos < 128 - o,
-                                    varroll(rowA, sshift),
-                                    varroll(rowB, sshift))
+                merged = jnp.where(pos >= o, rowA, rowB)
+                aligned = varroll(merged, sshift)
                 unit = expand(aligned, ren_i)
                 xcur = x1 if rans else code
                 code_s[...] = jnp.where(
@@ -1590,17 +1596,27 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             prb_s[...] = nprb
             pub_s[...] = npub
 
-            meta = sym | (lane_iota() << 8)
+            # ONE record per completed run: its within-group output
+            # position (pos << 9, tracked incrementally — the emitter's
+            # balanced lanes keep every group under 2^23 bytes, gated at
+            # _dec_parse) packed with the 9-bit sym DELTA vs the lane's
+            # previous run.  The finish program scatters the deltas at
+            # their positions and one cumsum reconstructs the bytes — no
+            # sort, no repeat, and HALF the emission staging of the old
+            # (sym|lane, runlen) two-plane scheme.
+            last = last_s[...]
+            posn = pos_s[...]
+            rec = (posn << 9) | ((sym - last) & 0x1FF)
+            last_s[...] = jnp.where(comp, sym, last)
+            pos_s[...] = jnp.where(comp, posn + runlen, posn)
             if "emit" in ablate:
                 # keep sym/runlen live (fold into a scratch the finish
                 # step writes out) so ablating the emit staging does not
                 # DCE the upstream MTF work
-                mA[...] = mA[...] ^ meta ^ runlen
+                mA[...] = mA[...] ^ rec ^ runlen
             else:
-                stage_emit(meta, comp_i, mA, mB, mF, mTile, mRow, mTc,
-                           meta_hbm)
-                stage_emit(runlen, comp_i, lA, lB, lF, lTile, lRow, lTc,
-                           len_hbm)
+                stage_emit(rec, comp_i, mA, mB, mF, mTile, mRow, mTc,
+                           rec_hbm)
             return 0
 
         lax.fori_loop(0, TI, row_body, 0)
@@ -1609,25 +1625,23 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
         def _finish():
             if "emit" in ablate:
                 counts_ref[...] = mA[...]
+                last_ref[...] = last_s[...]
                 return
+            last_ref[...] = last_s[...]
             for g in range(GROUPS):
                 cnt = mTc[g] * 1024 + mRow[g] * 128 + mF[g, 0]
                 counts_ref[g, :] = jnp.full((128,), cnt, jnp.int32)
-                for pipe in range(2):
-                    A, Tile, Row, Tc, hbm = (
-                        (mA, mTile, mRow, mTc, meta_hbm) if pipe == 0
-                        else (lA, lTile, lRow, lTc, len_hbm))
-                    rc = Row[g]
-                    arow = A[g, :]
-                    for rr in range(8):
-                        @pl.when(rc == rr)
-                        def _(rr=rr):
-                            Tile[g, rr, :] = arow
-                    tc = Tc[g]
-                    cp = pltpu.make_async_copy(
-                        Tile.at[g], hbm.at[g, pl.ds(tc * 8, 8), :], sem)
-                    cp.start()
-                    cp.wait()
+                rc = mRow[g]
+                arow = mA[g, :]
+                for rr in range(8):
+                    @pl.when(rc == rr)
+                    def _(rr=rr):
+                        mTile[g, rr, :] = arow
+                tc = mTc[g]
+                cp = pltpu.make_async_copy(
+                    mTile.at[g], rec_hbm.at[g, pl.ds(tc * 8, 8), :], sem)
+                cp.start()
+                cp.wait()
 
     import jax
 
@@ -1641,9 +1655,9 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             pl.BlockSpec(memory_space=pl.ANY),            # stream
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),            # meta records
-            pl.BlockSpec(memory_space=pl.ANY),            # len records
+            pl.BlockSpec(memory_space=pl.ANY),            # packed records
             pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),   # counts
+            pl.BlockSpec((GROUPS, 128), lambda s: (0, 0)),   # last syms
         ],
         scratch_shapes=(
             [pltpu.VMEM((NCTX, GROUPS, 128), jnp.int32),
@@ -1652,18 +1666,14 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
              pltpu.VMEM((GROUPS, 128), jnp.uint32),
              pltpu.VMEM((256, GROUPS, 128), jnp.int32),
              pltpu.VMEM((GROUPS, 128), jnp.int32)] +
-            [pltpu.VMEM((GROUPS, 128), jnp.int32) for _ in range(13)] +
+            [pltpu.VMEM((GROUPS, 128), jnp.int32) for _ in range(15)] +
             [pltpu.VMEM((GROUPS, 16, 128), jnp.int32),       # window
              pltpu.VMEM((GROUPS, 128), jnp.int32)] +         # wof
             [pltpu.VMEM((GROUPS, 128), jnp.int32),           # mA
              pltpu.VMEM((GROUPS, 128), jnp.int32),           # mB
              pltpu.VMEM((GROUPS, 128), jnp.int32),           # mF
-             pltpu.VMEM((GROUPS, 8, 128), jnp.int32),        # mTile
-             pltpu.VMEM((GROUPS, 128), jnp.int32),           # lA
-             pltpu.VMEM((GROUPS, 128), jnp.int32),           # lB
-             pltpu.VMEM((GROUPS, 128), jnp.int32),           # lF
-             pltpu.VMEM((GROUPS, 8, 128), jnp.int32)] +      # lTile
-            [pltpu.SMEM((GROUPS,), jnp.int32) for _ in range(5)] +
+             pltpu.VMEM((GROUPS, 8, 128), jnp.int32)] +      # mTile
+            [pltpu.SMEM((GROUPS,), jnp.int32) for _ in range(3)] +
             [pltpu.SemaphoreType.DMA]
         ),
     )
@@ -1673,7 +1683,7 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((GROUPS, MROWS, 128), jnp.int32),
-            jax.ShapeDtypeStruct((GROUPS, MROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((GROUPS, 128), jnp.int32),
             jax.ShapeDtypeStruct((GROUPS, 128), jnp.int32),
         ),
         interpret=interpret,
@@ -1726,37 +1736,6 @@ def _prep_call(UT: int, SROWS: int, interpret: bool):
     return jax.jit(prep)
 
 
-@functools.lru_cache(maxsize=64)
-def _post_expand_call(R: int, gbpad: int, interpret: bool):
-    """[R] records of ONE group -> [gbpad] decoded bytes (tail beyond the
-    group's byte count is padding).  Stable sort by lane keeps each lane's
-    records in emission order; jnp.repeat expands runs in place.
-
-    Per-group (not vmapped): lanes are bit-balanced, so group BYTE sizes
-    skew up to ~3x and a uniform [G, GBpad] plane pads every group to the
-    largest — measured 49.3 MB of D2H + 707 ms of repeat for 16.7 MB of
-    output.  Sizing R/gbpad per group keeps both proportional to the
-    group's actual records/bytes (geometric buckets bound the program
-    count)."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    def one_group(meta_f, len_f, cnt):
-        idx = lax.iota(jnp.int32, R)
-        valid = idx < cnt
-        lane = jnp.where(valid, (meta_f >> 8) & 0x7F, 128)
-        sym = jnp.where(valid, meta_f & 0xFF, 0)
-        ln = jnp.where(valid, len_f, 0)
-        _, sym_s, len_s = lax.sort((lane, sym, ln), dimension=0,
-                                   is_stable=True, num_keys=1)
-        return jnp.repeat(sym_s.astype(jnp.uint8), len_s,
-                          total_repeat_length=gbpad)
-
-    del interpret  # plain jnp ops; same path under test and on device
-    return jax.jit(one_group)
-
-
 def _geom_bucket(x: int, lo: int, step: int = 128) -> int:
     """Geometric 1.25x size ladder rounded to `step` (deterministic, so
     jit program shapes repeat across payloads and persist in the cache)."""
@@ -1781,6 +1760,11 @@ def _dec_parse(payload: bytes):
         off += 4 * L
     else:
         lane_sz = np.asarray(W.lane_sizes(isize, L), dtype=np.int64)
+    # the kernel packs each record's within-group position into 23 bits
+    # (pos << 9 | sym-delta); a pathologically byte-skewed lane split
+    # could overflow that, so such payloads take the host codec instead
+    if int(lane_sz.reshape(GROUPS, 128).sum(axis=1).max()) >= (1 << 23):
+        return None
     gunits = np.frombuffer(payload, dtype="<u4",
                            count=GROUPS, offset=off).astype(np.int32)
     off += 4 * GROUPS
@@ -1825,51 +1809,58 @@ def _dec_submit(p: dict, interpret: bool):
     # warm-up words are vectorized gathers on chip.
     warm_d, goff_d, stream_d = _prep_call(p["UT"], p["SROWS"], interpret)(
         jnp.asarray(p["upad"]), jnp.asarray(p["gunits"]), lane32)
-    meta_d, len_d, counts_d = _decoder_call(
+    recs_d, counts_d, last_d = _decoder_call(
         p["TI"], p["IT"], p["SROWS"], p["MROWS"], interpret, p["rans"])(
         warm_d, goff_d, lane32, stream_d)
-    return {"meta_d": meta_d, "len_d": len_d, "counts_d": counts_d,
+    return {"recs_d": recs_d, "counts_d": counts_d, "last_d": last_d,
             "lane_sz": p["lane_sz"]}
 
 
 @functools.lru_cache(maxsize=64)
-def _finish_fused_call(MROWS: int, RU: int, NPAD: int, interpret: bool):
+def _finish_delta_call(MROWS: int, RU: int, NPAD: int, interpret: bool):
     """ALL-group record expansion in ONE program: [GROUPS, MROWS, 128]
-    records -> uint8[NPAD] decoded block (tail past the true byte count is
-    padding).  One flat stable sort by the composite (group, lane) key
-    reorders every record into global output order — group spans ascend and
-    each group's lanes occupy one contiguous span, so the concatenation of
-    per-(group, lane) runs IS the block — then one jnp.repeat expands runs
-    in place.
+    packed (pos << 9 | sym-delta) records -> uint8[NPAD] decoded block
+    (tail past the true byte count is padding).
 
-    Replaces the per-group expand loop (round 4): 8 slice dispatches + 8
-    expand dispatches + 8 fetches per block cost ~465 ms of tunnel round
-    trips on this harness (measured, tools/decodeprof.py round 5) against
-    ~250 ms of actual expand compute.  RU is the record bucket shared by
-    all groups (sized off the max group count, geometric ladder); invalid
-    records sort to their group's tail with length 0, so they expand to
-    nothing."""
+    Sort-free and repeat-free (round 5; the previous fused finish cost
+    ~237 ms on a 16 MB block — a ~5M-record 3-array stable sort plus a
+    16M `jnp.repeat`): every record carries its absolute output position
+    and the sym DELTA vs the lane's previous run, so a permutation
+    scatter of the deltas + ONE i32 cumsum reconstructs the bytes — runs
+    fill forward because a constant span's deltas are zero.  Cross-lane
+    telescoping (the cumsum carries each lane's final sym into the next
+    lane's span) is cancelled by scattering -lastsym[m-1] at lane m's
+    start position — 1024 fixup adds.  Measured primitive costs
+    (docs/TPU_SORT_NOTES.md): scatter ~114 Melem/s, cumsum 16M = 27 ms."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    def fin(meta, len_, counts):
-        # meta/len_: int32[GROUPS, MROWS, 128] row-major packed records;
-        # counts: int32[GROUPS, 128] (lane 0 = the group's record count)
-        mm = meta[:, : RU // 128, :].reshape(GROUPS, RU)
-        ll = len_[:, : RU // 128, :].reshape(GROUPS, RU)
+    def fin(recs, counts, lastsym, gbase, lstart):
+        # recs: int32[GROUPS, MROWS, 128] row-major packed records;
+        # counts: int32[GROUPS, 128] (lane 0 = the group's record count);
+        # lastsym: int32[GROUPS, 128] final sym per lane (0 if none);
+        # gbase: int32[GROUPS] group byte starts; lstart: int32[LANES]
+        # absolute lane byte starts, output lane order.
+        rr_ = recs[:, : RU // 128, :].reshape(GROUPS, RU)
         ridx = lax.broadcasted_iota(jnp.int32, (GROUPS, RU), 1)
         valid = ridx < counts[:, 0][:, None]
-        lane = jnp.where(valid, (mm >> 8) & 0x7F, 128)
-        sym = jnp.where(valid, mm & 0xFF, 0)
-        ln = jnp.where(valid, ll, 0)
+        u = lax.bitcast_convert_type(rr_, jnp.uint32)
+        d9 = (u & 0x1FF).astype(jnp.int32)
+        delta = d9 - jnp.where(d9 > 255, 512, 0)
+        dst = (u >> 9).astype(jnp.int32) + gbase[:, None]
+        # invalid records route to distinct out-of-range slots so the
+        # scatter stays a unique-index permutation (dropped by mode)
         g = lax.broadcasted_iota(jnp.int32, (GROUPS, RU), 0)
-        key = (g * 256 + lane).reshape(GROUPS * RU)
-        _, sym_s, len_s = lax.sort(
-            (key, sym.reshape(GROUPS * RU), ln.reshape(GROUPS * RU)),
-            num_keys=1, is_stable=True)
-        return jnp.repeat(sym_s.astype(jnp.uint8), len_s,
-                          total_repeat_length=NPAD)
+        idx = jnp.where(valid, dst, NPAD + g * RU + ridx)
+        d = jnp.zeros((NPAD,), jnp.int32)
+        d = d.at[idx.reshape(-1)].set(
+            jnp.where(valid, delta, 0).reshape(-1),
+            mode="drop", unique_indices=True)
+        ls = lastsym.reshape(-1)
+        fix = jnp.concatenate([jnp.zeros((1,), jnp.int32), -ls[:-1]])
+        d = d.at[lstart].add(fix, mode="drop")
+        return jnp.cumsum(d).astype(jnp.uint8)
 
     del interpret  # plain jnp ops; same path under test and on device
     return jax.jit(fin)
@@ -1879,7 +1870,7 @@ def _finish_shapes(st: dict):
     counts = np.asarray(st["counts_d"])[:, 0]
     gb = st["lane_sz"].reshape(GROUPS, 128).sum(axis=1).astype(np.int64)
     n = int(gb.sum())
-    MROWS = int(st["meta_d"].shape[1])
+    MROWS = int(st["recs_d"].shape[1])
     used = (int(counts.max()) // 128 + 9) * 128
     RU = min(_geom_bucket(used, 2048), MROWS * 128)
     NPAD = _geom_bucket(n, 1 << 16)
@@ -1890,15 +1881,23 @@ def _dec_expand(st: dict, interpret: bool):
     """Sync the record counts and dispatch the fused expansion; returns
     (device uint8[NPAD] block, true byte count) WITHOUT fetching — the
     caller overlaps the D2H with later work."""
+    import jax.numpy as jnp
+
     n, MROWS, RU, NPAD = _finish_shapes(st)
-    out = _finish_fused_call(MROWS, RU, NPAD, interpret)(
-        st["meta_d"], st["len_d"], st["counts_d"])
+    lsz = st["lane_sz"].reshape(GROUPS, 128)
+    gb = lsz.sum(axis=1)
+    gbase = np.concatenate([[0], np.cumsum(gb)[:-1]]).astype(np.int32)
+    lstart = (np.cumsum(lsz.reshape(-1)) -
+              lsz.reshape(-1)).astype(np.int32)
+    out = _finish_delta_call(MROWS, RU, NPAD, interpret)(
+        st["recs_d"], st["counts_d"], st["last_d"],
+        jnp.asarray(gbase), jnp.asarray(lstart))
     return out, n
 
 
 def _dec_finish(st: dict, interpret: bool) -> bytes:
     """Sync the record counts, expand ALL groups' records into the block's
-    bytes with one fused program (see `_finish_fused_call`), fetch once."""
+    bytes with one fused program (see `_finish_delta_call`), fetch once."""
     out, n = _dec_expand(st, interpret)
     return np.asarray(out)[:n].tobytes()
 
@@ -1907,9 +1906,7 @@ def _dec_finish_device(st: dict, interpret: bool):
     """_dec_finish variant that KEEPS the decoded block in HBM: returns a
     device uint8[n] array (the composed decode pipeline chains the wideaux
     inverse BWT on it without a D2H/H2D round trip of the block)."""
-    n, MROWS, RU, NPAD = _finish_shapes(st)
-    out = _finish_fused_call(MROWS, RU, NPAD, interpret)(
-        st["meta_d"], st["len_d"], st["counts_d"])
+    out, n = _dec_expand(st, interpret)
     return out[:n]
 
 

@@ -84,26 +84,25 @@ def main():
     warm_d, goff_d, stream_d = prep()
 
     def dec():
-        meta, ln, counts = WK._decoder_call(
+        recs, counts, last = WK._decoder_call(
             p["TI"], p["IT"], p["SROWS"], p["MROWS"], False, p["rans"])(
             warm_d, goff_d, lane32, stream_d)
         _ = int(counts[0, 0])
-        return meta, ln, counts
+        return recs, counts, last
     t("decode kernel", dec)
-    meta_d, len_d, counts_d = dec()
+    recs_d, counts_d, last_d = dec()
 
-    st = {"meta_d": meta_d, "len_d": len_d, "counts_d": counts_d,
+    st = {"recs_d": recs_d, "counts_d": counts_d, "last_d": last_d,
           "lane_sz": p["lane_sz"]}
 
     nb, MROWS, RU, NPAD = WK._finish_shapes(st)
     print(f"  finish shapes: MROWS={MROWS} RU={RU} NPAD={NPAD}", flush=True)
 
     def expand_fused():
-        out = WK._finish_fused_call(MROWS, RU, NPAD, False)(
-            meta_d, len_d, counts_d)
+        out, _n = WK._dec_expand(st, False)
         _ = int(out[0])
         return out
-    t("fused expand (1 dispatch)", expand_fused)
+    t("delta expand (scatter+cumsum)", expand_fused)
     out_d = expand_fused()
 
     def d2h():

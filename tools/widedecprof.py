@@ -119,45 +119,27 @@ def main():
     dec = K._decoder_call(TI, IT, SROWS, MROWS, False, rans)
 
     def run_dec():
-        m, ln, c = dec(warm_d, goff_d, ls_d, stream_d)
+        m, c, ls = dec(warm_d, goff_d, ls_d, stream_d)
         _ = int(jnp.sum(c[:, :1]))
-        return m, ln, c
+        return m, c, ls
 
-    meta_d, len_d, counts_d = tick("decoder kernel", run_dec)
+    recs_d, counts_d, last_d = tick("decoder kernel", run_dec)
 
     counts = tick("counts D2H sync",
                   lambda: np.asarray(counts_d)[:, 0], bytes_=K.GROUPS * 4)
     gb = lane_sz.reshape(K.GROUPS, 128).sum(axis=1).astype(np.int64)
 
-    def _bucket(x, lo, step=128):
-        b = lo
-        while b < x:
-            b = -(-(b * 5 + 3) // 4 // step) * step
-        return b
-
-    Rcap = meta_d.shape[1] * 128
-    pads = [_bucket(int(gb[g]), 1 << 10, step=1) for g in range(K.GROUPS)]
-    print(f"per-group GBpad {sorted(pads)} (D2H total "
-          f"{sum(pads) / 1e6:.1f} MB)", flush=True)
+    st = {"recs_d": recs_d, "counts_d": counts_d, "last_d": last_d,
+          "lane_sz": lane_sz}
 
     def run_post():
-        parts = []
-        for g in range(K.GROUPS):
-            used_g = (int(counts[g]) // 128 + 9) * 128
-            R = min(_bucket(used_g, 2048), Rcap)
-            parts.append(K._post_expand_call(R, pads[g], False)(
-                meta_d[g, : R // 128, :].reshape(R),
-                len_d[g, : R // 128, :].reshape(R),
-                jnp.int32(int(counts[g]))))
-        for p in parts:
-            _ = int(jnp.sum(p[:1].astype(jnp.int32)))
-        return parts
+        out_d, nb = K._dec_expand(st, False)
+        _ = int(out_d[0])
+        return out_d, nb
 
-    parts = tick("post-expand per-group (jit)", run_post)
-    res = tick("D2H byte parts", lambda: [np.asarray(p) for p in parts],
-               bytes_=sum(pads))
-    out = tick("host join", lambda: b"".join(
-        r[: gb[g]].tobytes() for g, r in enumerate(res)))
+    (out_d, nb) = tick("delta expand (scatter+cumsum)", run_post)
+    out = tick("D2H bytes",
+               lambda: np.asarray(out_d)[:nb].tobytes(), bytes_=nb)
     assert out == db
 
     tick("FULL device_decode", lambda: K.device_decode(payload), reps=3)
