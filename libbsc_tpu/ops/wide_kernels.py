@@ -39,6 +39,18 @@ NCTX = W.NCTX
 _PRIORS = tuple(int(x) for x in W.priors())
 
 
+def _lroll(x, k):
+    """Lane rotation on the 128-lane axis via the NATIVE Mosaic vector
+    rotate (pltpu.roll).  jnp.roll inside a Pallas kernel lowers to the
+    generic slice+concat path — measured ~66 cycles per (8, 128) i32
+    roll on v5e (tools/decablate.py round 5), which made the butterfly
+    emission/refill networks dominate the decode kernel.  Negative
+    shifts are normalized (the primitive wants [0, 128))."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(x, k % 128, 1)
+
+
 def _jax():
     import jax  # deferred: keep module importable without backend init
 
@@ -185,7 +197,7 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
         """Inclusive prefix sum along the 128-lane axis (7 shifted adds)."""
         pos = lane_iota()
         for s in range(7):
-            sh = jnp.roll(x, 1 << s, axis=1)
+            sh = _lroll(x, 1 << s)
             x = x + jnp.where(pos >= (1 << s), sh, 0)
         return x
 
@@ -201,9 +213,9 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
         for s in range(7):
             k = 1 << s
             move = v * ((d >> s) & 1)
-            inc = jnp.roll(move, -k, axis=1)
-            vr = jnp.roll(vals, -k, axis=1)
-            dr = jnp.roll(d, -k, axis=1)
+            inc = _lroll(move, -k)
+            vr = _lroll(vals, -k)
+            dr = _lroll(d, -k)
             vals = jnp.where(inc == 1, vr, vals)
             d = jnp.where(inc == 1, dr - k, d)
             v = jnp.maximum(inc, v * (1 - move))
@@ -213,14 +225,14 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
         """Per-row circular shift right by f (f: [GROUPS, 128] broadcast of a
         per-row scalar)."""
         for s in range(7):
-            sh = jnp.roll(x, 1 << s, axis=1)
+            sh = _lroll(x, 1 << s)
             x = jnp.where(((f >> s) & 1) == 1, sh, x)
         return x
 
     PH_RFLAG, PH_REXP, PH_RMAN, PH_UFLAG, PH_UEXP, PH_UMAN = range(6)
 
     def kernel(pk_ref, out_ref, counts_ref, flow_ref,
-               probs, low_s, rng_s, stA, stB, fills, tile, rowcnt, tilecnt,
+               probs, low_s, rng_s, stA, stB, fills, tile, rcv, tilecnt,
                phase_s, t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s, pub_s,
                pctx_s, pbit_s, pprev_s,
                sem):
@@ -235,13 +247,13 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             stA[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             stB[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             fills[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+            rcv[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             phase_s[...] = jnp.zeros((GROUPS, 128), jnp.int32)  # PH_RFLAG
             for ref in (t_s, brs_s, val_s, rank_s, rh_s, uh_s, prb_s,
                         pub_s, pbit_s, pprev_s):
                 ref[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             pctx_s[...] = jnp.full((GROUPS, 128), 511, jnp.int32)
             for g in range(GROUPS):
-                rowcnt[g] = 0
                 tilecnt[g] = 0
 
         def flush_group(g):
@@ -327,27 +339,29 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             occr = ((pos - f) & 127) < m_row
             inA = occr & (pos >= f)
             inB = occr & (pos < f)
-            stA[...] = jnp.where(inA, rolled, stA[...])
-            stB[...] = jnp.where(inB, rolled, stB[...])
+            newA = jnp.where(inA, rolled, stA[...])
+            newB = jnp.where(inB, rolled, stB[...])
             fnew = f + m_row
-            fills[...] = jnp.where(fnew >= 128, fnew - 128, fnew)
+            crossed = fnew >= 128
+            fills[...] = jnp.where(crossed, fnew - 128, fnew)
+            # branchless row-into-tile move + one scalar-reduced DMA
+            # guard (see the decode kernel's stage_emit)
+            rc = rcv[...]
+            for rr in range(8):
+                tile[:, rr, :] = jnp.where(crossed & (rc == rr), newA,
+                                           tile[:, rr, :])
+            stA[...] = jnp.where(crossed, newB, newA)
+            stB[...] = jnp.where(crossed, 0, newB)
+            rc2 = jnp.where(crossed, rc + 1, rc)
+            full = (crossed & (rc2 == 8)).astype(jnp.int32)
+            rcv[...] = jnp.where(rc2 == 8, 0, rc2)
 
-            for g in range(GROUPS):
-                @pl.when(fnew[g, 0] >= 128)
-                def _(g=g):
-                    rc = rowcnt[g]
-                    arow = stA[g, :]
-                    for rr in range(8):
-                        @pl.when(rc == rr)
-                        def _(rr=rr):
-                            tile[g, rr, :] = arow
-                    stA[g, :] = stB[g, :]
-                    stB[g, :] = jnp.zeros((128,), jnp.int32)
-                    rowcnt[g] = rc + 1
-                    @pl.when(rc + 1 == 8)
-                    def _():
+            @pl.when(jnp.max(full) == 1)
+            def _flush():
+                for g in range(GROUPS):
+                    @pl.when(full[g, 0] == 1)
+                    def _(g=g):
                         flush_group(g)
-                        rowcnt[g] = 0
 
             # ---- state machine (mirror of the decode kernel's; a lane's
             # state freezes once its bit stream goes inactive) ----
@@ -371,8 +385,8 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             # final flush: spill the partial staging row + partial tile and
             # record exact unit counts
             for g in range(GROUPS):
-                cnt = (tilecnt[g] * 1024 + rowcnt[g] * 128 + fills[g, 0])
-                rc = rowcnt[g]
+                cnt = (tilecnt[g] * 1024 + rcv[g, 0] * 128 + fills[g, 0])
+                rc = rcv[g, 0]
                 arow = stA[g, :]
                 for rr in range(8):
                     @pl.when(rc == rr)
@@ -405,7 +419,7 @@ def _build_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             pltpu.VMEM((GROUPS, 128), jnp.int32),         # staging B
             pltpu.VMEM((GROUPS, 128), jnp.int32),         # fills (bcast)
             pltpu.VMEM((GROUPS, 8, 128), jnp.int32),      # tile
-            pltpu.SMEM((GROUPS,), jnp.int32),             # rowcnt
+            pltpu.VMEM((GROUPS, 128), jnp.int32),         # row count (bcast)
             pltpu.SMEM((GROUPS,), jnp.int32),             # tilecnt
         ] + [pltpu.VMEM((GROUPS, 128), jnp.int32)
              for _ in range(12)]                           # state machine
@@ -553,7 +567,7 @@ def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
     def prefix_row(x):
         pos = lane_iota()
         for s in range(7):
-            sh = jnp.roll(x, 1 << s, axis=1)
+            sh = _lroll(x, 1 << s)
             x = x + jnp.where(pos >= (1 << s), sh, 0)
         return x
 
@@ -566,15 +580,15 @@ def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
         for s in range(7):
             k = 1 << s
             move = v * ((d >> s) & 1)
-            inc = jnp.roll(move, -k, axis=1)
-            vals = jnp.where(inc == 1, jnp.roll(vals, -k, axis=1), vals)
-            d = jnp.where(inc == 1, jnp.roll(d, -k, axis=1) - k, d)
+            inc = _lroll(move, -k)
+            vals = jnp.where(inc == 1, _lroll(vals, -k), vals)
+            d = jnp.where(inc == 1, _lroll(d, -k) - k, d)
             v = jnp.maximum(inc, v * (1 - move))
         return vals
 
     def varroll(x, f):
         for s in range(7):
-            sh = jnp.roll(x, 1 << s, axis=1)
+            sh = _lroll(x, 1 << s)
             x = jnp.where(((f >> s) & 1) == 1, sh, x)
         return x
 
@@ -584,13 +598,13 @@ def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
         pos = lane_iota()
         for s in range(7):
             k = 1 << s
-            fwd = jnp.roll(x, -k, axis=1)
-            bwd = jnp.roll(x, k, axis=1)
+            fwd = _lroll(x, -k)
+            bwd = _lroll(x, k)
             x = jnp.where(((pos >> s) & 1) == 0, fwd, bwd)
         return x
 
     def kernel(pk_ref, pp_ref, out_ref, counts_ref, fx_ref,
-               x_s, stA, stB, fills, tile, rowcnt, tilecnt, sem):
+               x_s, stA, stB, fills, tile, rcv, tilecnt, sem):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -599,8 +613,8 @@ def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             stA[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             stB[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             fills[...] = jnp.zeros((GROUPS, 128), jnp.int32)
+            rcv[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             for g in range(GROUPS):
-                rowcnt[g] = 0
                 tilecnt[g] = 0
 
         def flush_group(g):
@@ -662,27 +676,30 @@ def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             occr = (((pos - fl) & 127) < m_row).astype(jnp.int32)
             inA = (occr == 1) & (pos >= fl)
             inB = (occr == 1) & (pos < fl)
-            stA[...] = jnp.where(inA, rolled, stA[...])
-            stB[...] = jnp.where(inB, rolled, stB[...])
+            newA = jnp.where(inA, rolled, stA[...])
+            newB = jnp.where(inB, rolled, stB[...])
             fnew = fl + m_row
-            fills[...] = jnp.where(fnew >= 128, fnew - 128, fnew)
+            crossed = fnew >= 128
+            fills[...] = jnp.where(crossed, fnew - 128, fnew)
+            # branchless row-into-tile move (see the decode kernel's
+            # stage_emit): one-hot predicated writes every iteration, one
+            # scalar-reduced any-tile-full guard for the rare DMA
+            rc = rcv[...]
+            for rr in range(8):
+                tile[:, rr, :] = jnp.where(crossed & (rc == rr), newA,
+                                           tile[:, rr, :])
+            stA[...] = jnp.where(crossed, newB, newA)
+            stB[...] = jnp.where(crossed, 0, newB)
+            rc2 = jnp.where(crossed, rc + 1, rc)
+            full = (crossed & (rc2 == 8)).astype(jnp.int32)
+            rcv[...] = jnp.where(rc2 == 8, 0, rc2)
 
-            for g in range(GROUPS):
-                @pl.when(fnew[g, 0] >= 128)
-                def _(g=g):
-                    rc = rowcnt[g]
-                    arow = stA[g, :]
-                    for rr in range(8):
-                        @pl.when(rc == rr)
-                        def _(rr=rr):
-                            tile[g, rr, :] = arow
-                    stA[g, :] = stB[g, :]
-                    stB[g, :] = jnp.zeros((128,), jnp.int32)
-                    rowcnt[g] = rc + 1
-                    @pl.when(rc + 1 == 8)
-                    def _():
+            @pl.when(jnp.max(full) == 1)
+            def _flush():
+                for g in range(GROUPS):
+                    @pl.when(full[g, 0] == 1)
+                    def _(g=g):
                         flush_group(g)
-                        rowcnt[g] = 0
             return 0
 
         lax.fori_loop(0, TI, row_body, 0)
@@ -690,8 +707,8 @@ def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
         @pl.when(step == n_steps - 1)
         def _finish():
             for g in range(GROUPS):
-                cnt = (tilecnt[g] * 1024 + rowcnt[g] * 128 + fills[g, 0])
-                rc = rowcnt[g]
+                cnt = (tilecnt[g] * 1024 + rcv[g, 0] * 128 + fills[g, 0])
+                rc = rcv[g, 0]
                 arow = stA[g, :]
                 for rr in range(8):
                     @pl.when(rc == rr)
@@ -722,7 +739,7 @@ def _build_rans_kernel(TI: int, IT: int, MAXROWS: int, interpret: bool):
             pltpu.VMEM((GROUPS, 128), jnp.int32),         # staging B
             pltpu.VMEM((GROUPS, 128), jnp.int32),         # fills (bcast)
             pltpu.VMEM((GROUPS, 8, 128), jnp.int32),      # tile
-            pltpu.SMEM((GROUPS,), jnp.int32),             # rowcnt
+            pltpu.VMEM((GROUPS, 128), jnp.int32),         # row count (bcast)
             pltpu.SMEM((GROUPS,), jnp.int32),             # tilecnt
             pltpu.SemaphoreType.DMA,
         ],
@@ -1158,7 +1175,7 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
     def prefix_row(x):
         pos = lane_iota()
         for s in range(7):
-            sh = jnp.roll(x, 1 << s, axis=1)
+            sh = _lroll(x, 1 << s)
             x = x + jnp.where(pos >= (1 << s), sh, 0)
         return x
 
@@ -1171,9 +1188,9 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
         for s in range(7):
             k = 1 << s
             move = v * ((d >> s) & 1)
-            inc = jnp.roll(move, -k, axis=1)
-            vals = jnp.where(inc == 1, jnp.roll(vals, -k, axis=1), vals)
-            d = jnp.where(inc == 1, jnp.roll(d, -k, axis=1) - k, d)
+            inc = _lroll(move, -k)
+            vals = jnp.where(inc == 1, _lroll(vals, -k), vals)
+            d = jnp.where(inc == 1, _lroll(d, -k) - k, d)
             v = jnp.maximum(inc, v * (1 - move))
         return vals
 
@@ -1191,15 +1208,15 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
         for s in range(6, -1, -1):
             k = 1 << s
             move = v * ((d >> s) & 1)
-            inc = jnp.roll(move, k, axis=1)
-            vals = jnp.where(inc == 1, jnp.roll(vals, k, axis=1), vals)
-            d = jnp.where(inc == 1, jnp.roll(d, k, axis=1) - k, d)
+            inc = _lroll(move, k)
+            vals = jnp.where(inc == 1, _lroll(vals, k), vals)
+            d = jnp.where(inc == 1, _lroll(d, k) - k, d)
             v = jnp.maximum(inc, v * (1 - move))
         return vals
 
     def varroll(x, f):
         for s in range(7):
-            sh = jnp.roll(x, 1 << s, axis=1)
+            sh = _lroll(x, 1 << s)
             x = jnp.where(((f >> s) & 1) == 1, sh, x)
         return x
 
@@ -1214,7 +1231,7 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                left_s, pctx_s, pbit_s, pprev_s, pos_s, last_s,
                win, wof_s,
                mA, mB, mF, mTile,
-               mRow, mTc, wTile, sem):
+               mRcv, mTc, wTile, sem):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -1237,11 +1254,9 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             # exclusive prefix of the group's lane sizes
             pos_s[...] = prefix_row(lsz) - lsz
             wof_s[...] = goff_ref[...]
-            for ref in (mA, mB):
+            for ref in (mA, mB, mF, mRcv):
                 ref[...] = jnp.zeros((GROUPS, 128), jnp.int32)
-            mF[...] = jnp.zeros((GROUPS, 128), jnp.int32)
             for g in range(GROUPS):
-                mRow[g] = 0
                 mTc[g] = 0
                 wTile[g] = 2
             # preload the first two stream tiles per group
@@ -1253,13 +1268,24 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                     cp.start()
                     cp.wait()
 
-        def stage_emit(vals, emit_i32, A, B, F, Tile, Row, Tc, out_hbm):
+        def stage_emit(vals, emit_i32, A, B, F, Tile, Rcv, Tc, out_hbm):
             """The encode kernel's staging pipeline as a helper: pack the
             emitting lanes, append at the per-group fill offset, flush full
-            tiles to HBM."""
+            tiles to HBM.
+
+            BRANCHLESS except the (rare) tile DMA: a per-group @pl.when
+            check costs ~165 cycles per iteration on v5e whether or not it
+            fires (tools/decablate.py round 5 — 8 checks = ~55 ms of the
+            kernel), so the row-into-tile move is one-hot predicated
+            vector writes every iteration, and the only branch left is
+            ONE scalar-reduced any-tile-full guard whose body runs every
+            ~64 iterations."""
             pos = lane_iota()
             m_row = jnp.sum(emit_i32, axis=1, keepdims=True)
-            packed = leftpack(vals, emit_i32)
+            if "emit_pack" in ablate:
+                packed = vals
+            else:
+                packed = leftpack(vals, emit_i32)
             f = F[...]
             valid0 = (pos < m_row).astype(jnp.int32)
             rolled = varroll(jnp.where(valid0 == 1, packed, 0), f)
@@ -1268,24 +1294,30 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             occr = (((pos - f) & 127) < m_row).astype(jnp.int32)
             inA = (occr == 1) & (pos >= f)
             inB = (occr == 1) & (pos < f)
-            A[...] = jnp.where(inA, rolled, A[...])
-            B[...] = jnp.where(inB, rolled, B[...])
+            newA = jnp.where(inA, rolled, A[...])
+            newB = jnp.where(inB, rolled, B[...])
             fnew = f + m_row
-            F[...] = jnp.where(fnew >= 128, fnew - 128, fnew)
-            for g in range(GROUPS):
-                @pl.when(fnew[g, 0] >= 128)
-                def _(g=g):
-                    rc = Row[g]
-                    arow = A[g, :]
-                    for rr in range(8):
-                        @pl.when(rc == rr)
-                        def _(rr=rr):
-                            Tile[g, rr, :] = arow
-                    A[g, :] = B[g, :]
-                    B[g, :] = jnp.zeros((128,), jnp.int32)
-                    Row[g] = rc + 1
-                    @pl.when(rc + 1 == 8)
-                    def _():
+            crossed = fnew >= 128
+            F[...] = jnp.where(crossed, fnew - 128, fnew)
+            if "emit_tile" in ablate:
+                A[...] = jnp.where(crossed, newB, newA)
+                B[...] = jnp.where(crossed, 0, newB)
+                return
+            rc = Rcv[...]
+            for rr in range(8):
+                Tile[:, rr, :] = jnp.where(crossed & (rc == rr), newA,
+                                           Tile[:, rr, :])
+            A[...] = jnp.where(crossed, newB, newA)
+            B[...] = jnp.where(crossed, 0, newB)
+            rc2 = jnp.where(crossed, rc + 1, rc)
+            full = (crossed & (rc2 == 8)).astype(jnp.int32)
+            Rcv[...] = jnp.where(rc2 == 8, 0, rc2)
+
+            @pl.when(jnp.max(full) == 1)
+            def _flush():
+                for g in range(GROUPS):
+                    @pl.when(full[g, 0] == 1)
+                    def _(g=g):
                         tc = Tc[g]
                         cp = pltpu.make_async_copy(
                             Tile.at[g], out_hbm.at[g, pl.ds(tc * 8, 8), :],
@@ -1293,7 +1325,6 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                         cp.start()
                         cp.wait()
                         Tc[g] = tc + 1
-                        Row[g] = 0
 
         def row_body(i, _):
             phase = phase_s[...]
@@ -1405,15 +1436,19 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                 wof = wof_s[...]
                 o = wof & 127
                 srow = wof >> 7  # logical window row [0, 16)
-                rowA = jnp.zeros((GROUPS, 128), jnp.int32)
-                rowB = jnp.zeros((GROUPS, 128), jnp.int32)
-                for rr in range(16):
-                    sel = srow == rr
-                    rowA = jnp.where(sel, win[:, rr, :][:, None, :]
-                                     .reshape(GROUPS, 128), rowA)
-                    nxt = (rr + 1) % 16
-                    rowB = jnp.where(sel, win[:, nxt, :][:, None, :]
-                                     .reshape(GROUPS, 128), rowB)
+                if "refill_rows" in ablate:
+                    rowA = win[:, 0, :][:, None, :].reshape(GROUPS, 128)
+                    rowB = win[:, 1, :][:, None, :].reshape(GROUPS, 128)
+                else:
+                    rowA = jnp.zeros((GROUPS, 128), jnp.int32)
+                    rowB = jnp.zeros((GROUPS, 128), jnp.int32)
+                    for rr in range(16):
+                        sel = srow == rr
+                        rowA = jnp.where(sel, win[:, rr, :][:, None, :]
+                                         .reshape(GROUPS, 128), rowA)
+                        nxt = (rr + 1) % 16
+                        rowB = jnp.where(sel, win[:, nxt, :][:, None, :]
+                                         .reshape(GROUPS, 128), rowB)
                 # one rotation instead of two: merge A/B in UNROTATED
                 # space (index j takes rowA when j >= o, the wrapped
                 # rowB below o), then rotate once
@@ -1421,27 +1456,38 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                 pos = lane_iota()
                 merged = jnp.where(pos >= o, rowA, rowB)
                 aligned = varroll(merged, sshift)
-                unit = expand(aligned, ren_i)
+                if "refill_expand" in ablate:
+                    unit = aligned
+                else:
+                    unit = expand(aligned, ren_i)
                 xcur = x1 if rans else code
                 code_s[...] = jnp.where(
                     ren, (xcur << 16) | unit.astype(u32), xcur)
                 m_g = jnp.sum(ren_i, axis=1, keepdims=True)
                 wof2 = wof + m_g
                 wof_s[...] = jnp.where(wof2 >= 1024, wof2 - 1024, wof2)
-                for g in range(GROUPS):
-                    @pl.when(wof2[g, 0] >= 1024)
-                    def _(g=g):
-                        # slide the window one tile: rows 8..15 -> 0..7,
-                        # load next
-                        for rr in range(8):
-                            win[g, rr, :] = win[g, rr + 8, :]
-                        wt = wTile[g]
-                        cp = pltpu.make_async_copy(
-                            stream_hbm.at[g, pl.ds(wt * 8, 8), :],
-                            win.at[g, pl.ds(8, 8), :], sem)
-                        cp.start()
-                        cp.wait()
-                        wTile[g] = wt + 1
+                # one scalar-reduced guard instead of 8 per-group checks
+                # (a @pl.when check costs ~165 cycles per iteration even
+                # when it never fires); the inner per-group checks only
+                # evaluate in the rare crossing iterations
+                slid = (wof2 >= 1024).astype(jnp.int32)
+
+                @pl.when(jnp.max(slid) == 1)
+                def _slide():
+                    for g in range(GROUPS):
+                        @pl.when(slid[g, 0] == 1)
+                        def _(g=g):
+                            # slide the window one tile: rows 8..15 ->
+                            # 0..7, load next
+                            for rr in range(8):
+                                win[g, rr, :] = win[g, rr + 8, :]
+                            wt = wTile[g]
+                            cp = pltpu.make_async_copy(
+                                stream_hbm.at[g, pl.ds(wt * 8, 8), :],
+                                win.at[g, pl.ds(8, 8), :], sem)
+                            cp.start()
+                            cp.wait()
+                            wTile[g] = wt + 1
 
             # ---- state machine ----
             is_rf = active & (phase == PH_RFLAG)
@@ -1554,13 +1600,6 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                 symtmp[...] = sym
                 old31 = mtf[31]
 
-                @pl.when(mr >= 32)
-                def _high_pick():
-                    s2 = symtmp[...]
-                    for rr in range(32, 256):
-                        s2 = jnp.where(crank == rr, mtf[rr], s2)
-                    symtmp[...] = s2
-
                 # mtf shift: entries 1..rank move down, picked symbol to
                 # front
                 prev = mtf[0]
@@ -1569,8 +1608,16 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                     mtf[rr] = jnp.where(comp & (rr <= crank), prev, cur)
                     prev = cur
 
+                # rare tier in ONE guarded region (each @pl.when check
+                # costs ~165 cycles/iteration): the high pick reads rows
+                # 32..255, untouched by the low shift above, and the high
+                # shift seeds from old31 captured pre-shift
                 @pl.when(mr >= 32)
-                def _high_shift():
+                def _high():
+                    s2 = symtmp[...]
+                    for rr in range(32, 256):
+                        s2 = jnp.where(crank == rr, mtf[rr], s2)
+                    symtmp[...] = s2
                     prev2 = old31
                     for rr in range(32, 256):
                         cur = mtf[rr]
@@ -1615,7 +1662,7 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                 # DCE the upstream MTF work
                 mA[...] = mA[...] ^ rec ^ runlen
             else:
-                stage_emit(rec, comp_i, mA, mB, mF, mTile, mRow, mTc,
+                stage_emit(rec, comp_i, mA, mB, mF, mTile, mRcv, mTc,
                            rec_hbm)
             return 0
 
@@ -1629,9 +1676,9 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
                 return
             last_ref[...] = last_s[...]
             for g in range(GROUPS):
-                cnt = mTc[g] * 1024 + mRow[g] * 128 + mF[g, 0]
+                cnt = mTc[g] * 1024 + mRcv[g, 0] * 128 + mF[g, 0]
                 counts_ref[g, :] = jnp.full((128,), cnt, jnp.int32)
-                rc = mRow[g]
+                rc = mRcv[g, 0]
                 arow = mA[g, :]
                 for rr in range(8):
                     @pl.when(rc == rr)
@@ -1672,8 +1719,9 @@ def _build_decode_kernel(TI: int, IT: int, SROWS: int, MROWS: int,
             [pltpu.VMEM((GROUPS, 128), jnp.int32),           # mA
              pltpu.VMEM((GROUPS, 128), jnp.int32),           # mB
              pltpu.VMEM((GROUPS, 128), jnp.int32),           # mF
-             pltpu.VMEM((GROUPS, 8, 128), jnp.int32)] +      # mTile
-            [pltpu.SMEM((GROUPS,), jnp.int32) for _ in range(3)] +
+             pltpu.VMEM((GROUPS, 8, 128), jnp.int32),        # mTile
+             pltpu.VMEM((GROUPS, 128), jnp.int32)] +         # mRcv
+            [pltpu.SMEM((GROUPS,), jnp.int32) for _ in range(2)] +
             [pltpu.SemaphoreType.DMA]
         ),
     )

@@ -50,9 +50,15 @@ def main():
         jnp.asarray(p["upad"]), jnp.asarray(p["gunits"]), lane32)
     jax.block_until_ready((warm_d, goff_d, stream_d))
 
-    # cumulative ablations, innermost machinery last
+    # cumulative ablations, innermost machinery last; the fine knobs
+    # (emit_pack/emit_tile/refill_rows/refill_expand) slice WITHIN the
+    # two dominant stages
     variants = [
         ("full", frozenset()),
+        ("-emit_pack", frozenset({"emit_pack"})),
+        ("-emit_tile", frozenset({"emit_tile"})),
+        ("-refill_rows", frozenset({"refill_rows"})),
+        ("-refill_expand", frozenset({"refill_expand"})),
         ("-emit", frozenset({"emit"})),
         ("-emit-mtf", frozenset({"emit", "mtf"})),
         ("-emit-mtf-refill", frozenset({"emit", "mtf", "refill"})),
